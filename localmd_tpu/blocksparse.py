@@ -1,0 +1,172 @@
+"""Device-side blocked-sparse spatial matrix ``U``.
+
+The reference assembles its global spatial basis as a scipy COO matrix built
+from Python lists (reference decomposition.py:818-843) and then does sparse
+CPU matmuls (``u.T.dot(u)``, BCOO products) for the factorized SVD and the
+streaming temporal regression (reference decomposition.py:974-981,
+pmd_loader.py:327). On TPU we exploit the *known* block structure instead:
+
+``U`` is stored as dense per-block panels ``(n_blocks, p, S)`` (p = pixels
+per block, S = component slots, zero-padded past each block's kept rank)
+plus a static row-id map ``(n_blocks, p)``, and an extra dense column block
+for the global low-rank background basis. Every product we need is then a
+batched dense matmul on the MXU plus one gather or scatter-add:
+
+- ``U @ X``   : gather X rows per block -> batched matmul -> scatter-add.
+- ``U.T @ Y`` : gather Y rows per block -> batched (S,p)x(p,m) matmul.
+- ``right.T (U.T U) right`` : composition of the two, column-chunked, never
+  materializing the (R, R) Gram matrix.
+
+Zero-padded slots are exact zero columns: they contribute nothing to any
+product and surface as zero eigenvalues that the factorized-SVD stage drops,
+exactly like the reference's ``eig_vals > 0`` cut
+(reference decomposition.py:988-990). Columns are compacted only at scipy-CSR
+export time (serialization parity with the reference .npz convention).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+import scipy.sparse
+
+
+def _mm(a: Array, b: Array) -> Array:
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _matmul_kernel(panels: Array, rows: Array, x_block: Array, n_pixels: int) -> Array:
+    """(n, p, S) panels x (n, S, m) -> scatter-add into (n_pixels, m)."""
+    contrib = _mm(panels, x_block)                       # (n, p, m)
+    out = jnp.zeros((n_pixels, x_block.shape[-1]), dtype=contrib.dtype)
+    return out.at[rows.reshape(-1)].add(contrib.reshape(-1, contrib.shape[-1]))
+
+
+@jax.jit
+def _rmatmul_kernel(panels: Array, rows: Array, y: Array) -> Array:
+    """(n_pixels, m) -> (n, S, m) via gather + batched panel^T matmul."""
+    gathered = y[rows]                                   # (n, p, m)
+    return _mm(jnp.swapaxes(panels, -1, -2), gathered)   # (n, S, m)
+
+
+@dataclass
+class BlockSparseMatrix:
+    """U = [block panels | dense background basis], shape (n_pixels, R).
+
+    R = n_blocks * slots + dense_basis.shape[1]. Column j of block b lives at
+    global index b * slots + j; background columns follow at the end
+    (mirroring the reference's ``hstack([u, spatial_bg])``,
+    decomposition.py:929-930).
+    """
+
+    panels: Array            # (n_blocks, p, S) float32
+    rows: Array              # (n_blocks, p) int32 global pixel ids
+    n_pixels: int
+    dense_basis: Array       # (n_pixels, K) float32 (background; K >= 0)
+
+    @property
+    def n_blocks(self) -> int:
+        return self.panels.shape[0]
+
+    @property
+    def slots(self) -> int:
+        return self.panels.shape[2]
+
+    @property
+    def n_block_cols(self) -> int:
+        return self.n_blocks * self.slots
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_pixels, self.n_block_cols + self.dense_basis.shape[1])
+
+    # -- products -----------------------------------------------------------
+
+    def matmul(self, x: Array) -> Array:
+        """U @ x for x of shape (R, m) -> (n_pixels, m)."""
+        nb = self.n_block_cols
+        x_block = x[:nb].reshape(self.n_blocks, self.slots, -1)
+        out = _matmul_kernel(self.panels, self.rows, x_block, self.n_pixels)
+        if self.dense_basis.shape[1]:
+            out = out + _mm(self.dense_basis, x[nb:])
+        return out
+
+    def rmatmul(self, y: Array) -> Array:
+        """U.T @ y for y of shape (n_pixels, m) -> (R, m)."""
+        block_part = _rmatmul_kernel(self.panels, self.rows, y)
+        block_part = block_part.reshape(self.n_block_cols, -1)
+        if self.dense_basis.shape[1]:
+            bg_part = _mm(self.dense_basis.T, y)
+            return jnp.concatenate([block_part, bg_part], axis=0)
+        return block_part
+
+    def gram_matmul(self, x: Array, col_chunk: Optional[int] = None) -> Array:
+        """(U.T U) @ x without forming the Gram matrix; optionally chunked
+        over columns of x to bound the (n_pixels, chunk) intermediate."""
+        m = x.shape[1]
+        if col_chunk is None or m <= col_chunk:
+            return self.rmatmul(self.matmul(x))
+        outs = []
+        for s in range(0, m, col_chunk):
+            outs.append(self.rmatmul(self.matmul(x[:, s : s + col_chunk])))
+        return jnp.concatenate(outs, axis=1)
+
+    def gram_quadratic(self, right: Array, col_chunk: Optional[int] = None) -> Array:
+        """Symmetrized right.T (U.T U) right, shape (m, m)."""
+        g = _mm(right.T, self.gram_matmul(right, col_chunk=col_chunk))
+        return 0.5 * (g + g.T)
+
+    # -- export / import ------------------------------------------------------
+
+    def to_csr(self, counts: np.ndarray) -> Tuple[scipy.sparse.csr_matrix, np.ndarray]:
+        """Compact to a scipy CSR matrix, dropping unused slots.
+
+        ``counts``: (n_blocks,) kept components per block. Returns the CSR
+        matrix of shape (n_pixels, sum(counts) + K) and the map from compacted
+        column id -> padded global column id (for compacting R alongside).
+        """
+        counts = np.asarray(counts, dtype=np.int64)
+        panels = np.asarray(self.panels)
+        rows = np.asarray(self.rows)
+        col_map = []
+        data_parts, row_parts, col_parts = [], [], []
+        col_cursor = 0
+        for b in range(self.n_blocks):
+            c = int(counts[b])
+            if c == 0:
+                continue
+            panel = panels[b, :, :c]                    # (p, c)
+            r = np.repeat(rows[b], c)
+            cols = np.tile(np.arange(col_cursor, col_cursor + c), panels.shape[1])
+            data_parts.append(panel.reshape(-1))
+            row_parts.append(r)
+            col_parts.append(cols)
+            col_map.extend(b * self.slots + j for j in range(c))
+            col_cursor += c
+        k_bg = int(self.dense_basis.shape[1])
+        n_cols = col_cursor + k_bg
+        if data_parts:
+            coo = scipy.sparse.coo_matrix(
+                (
+                    np.concatenate(data_parts),
+                    (np.concatenate(row_parts), np.concatenate(col_parts)),
+                ),
+                shape=(self.n_pixels, col_cursor),
+            )
+        else:
+            coo = scipy.sparse.coo_matrix((self.n_pixels, 0))
+        if k_bg:
+            bg = scipy.sparse.coo_matrix(np.asarray(self.dense_basis))
+            full = scipy.sparse.hstack([coo, bg]).tocsr()
+            col_map.extend(self.n_block_cols + j for j in range(k_bg))
+        else:
+            full = coo.tocsr()
+        return full, np.asarray(col_map, dtype=np.int64)

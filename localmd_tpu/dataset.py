@@ -1,0 +1,248 @@
+"""Lazy dataset protocol + concrete movie readers.
+
+Mirrors the capability surface of the reference ``lazy_data_loader`` ABC and
+``TiffArray`` (reference dataset.py:7-181), with a TPU-pipeline-friendly
+contract: datasets yield ``(T, d1, d2)`` numpy frames on the host; all
+device placement happens downstream in the loader.
+
+Differences from the reference, by design:
+
+- ``PMDDataset`` is the class name the reference README promises
+  (reference README.md:68) but the code never defines; we define it and keep
+  ``lazy_data_loader`` as an alias for drop-in compatibility.
+- The contract stays duck-typed: any object with ``.shape`` and
+  frame-list indexing works (the reference tests pass a bare ``np.ndarray``,
+  reference test/test_pmd.py:54). ``as_dataset`` normalizes inputs.
+- ``TiffArray`` uses our native reader (:mod:`localmd_tpu.io.tiff`) and
+  caches the page index, instead of re-opening + re-parsing the file on
+  every access like the reference (reference dataset.py:155-181).
+- Extra sources useful in production: ``RawBinaryArray`` (memmap),
+  ``NpyArray``, ``ZStackArray`` (multi-plane volumetric wrapper, see
+  BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Sequence, Tuple, Union
+
+import numpy as np
+
+from localmd_tpu.io.tiff import TiffReader
+
+FrameIndexer = Union[int, list, np.ndarray, slice, range]
+
+
+class PMDDataset(ABC):
+    """Numpy-like lazy random access to a (T, d1, d2) movie.
+
+    Implement ``dtype``, ``shape`` and ``_compute_at_indices`` to support a
+    new file format (same two-member contract as reference dataset.py:116-128).
+    """
+
+    @property
+    @abstractmethod
+    def dtype(self) -> np.dtype:
+        ...
+
+    @property
+    @abstractmethod
+    def shape(self) -> Tuple[int, int, int]:
+        """(n_frames, d1, d2)."""
+        ...
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @abstractmethod
+    def _compute_at_indices(self, indices: Union[list, int, slice]) -> np.ndarray:
+        """Return frames at the requested temporal indices as (T, d1, d2)."""
+        ...
+
+    def _normalize_frame_indexer(self, frame_indexer: FrameIndexer):
+        n = self.shape[0]
+        if isinstance(frame_indexer, np.ndarray):
+            frame_indexer = frame_indexer.tolist()
+        if isinstance(frame_indexer, np.integer):
+            frame_indexer = int(frame_indexer)
+        if isinstance(frame_indexer, (slice, range)):
+            start, stop, step = frame_indexer.start, frame_indexer.stop, frame_indexer.step
+            if start is not None and start > n:
+                raise IndexError(f"frame start {start} beyond n_frames {n}")
+            if stop is not None and stop > n:
+                raise IndexError(f"frame stop {stop} beyond n_frames {n}")
+            return slice(start, stop, step if step is not None else 1)
+        if isinstance(frame_indexer, (int, list)):
+            return frame_indexer
+        raise IndexError(f"Invalid frame indexer type: {type(frame_indexer)}")
+
+    def __getitem__(self, item):
+        if isinstance(item, tuple):
+            if len(item) > len(self.shape):
+                raise IndexError(
+                    f"Too many indices ({len(item)}) for {len(self.shape)}-d dataset"
+                )
+            frame_indexer = item[0]
+        else:
+            frame_indexer = item
+
+        frame_indexer = self._normalize_frame_indexer(frame_indexer)
+        frames = self._compute_at_indices(frame_indexer)
+        if frames.ndim < len(self.shape):
+            frames = np.expand_dims(frames, axis=0)
+
+        if isinstance(item, tuple):
+            if len(item) == 2:
+                frames = frames[:, item[1]]
+            elif len(item) == 3:
+                frames = frames[:, item[1], item[2]]
+        return frames.squeeze()
+
+
+# Backwards-compatible alias matching the reference class name
+# (reference dataset.py:7).
+lazy_data_loader = PMDDataset
+
+
+class NumpyArray(PMDDataset):
+    """Adapter wrapping an in-memory (T, d1, d2) ndarray."""
+
+    def __init__(self, array: np.ndarray):
+        array = np.asarray(array)
+        if array.ndim != 3:
+            raise ValueError("NumpyArray expects a (T, d1, d2) array")
+        self._array = array
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._array.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self._array.shape
+
+    def _compute_at_indices(self, indices) -> np.ndarray:
+        return np.asarray(self._array[indices])
+
+
+class TiffArray(PMDDataset):
+    """Multipage TIFF movie (reference dataset.py:131-181 parity), backed by
+    the native :class:`localmd_tpu.io.tiff.TiffReader` (mmap + one-time page
+    index, rather than per-call header re-parse)."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
+        self._reader = TiffReader(filename)
+
+    @property
+    def dtype(self) -> np.dtype:
+        # Reference TiffArray presents data as float32 (reference dataset.py:143-148)
+        return np.dtype(np.float32)
+
+    @property
+    def raw_dtype(self) -> np.dtype:
+        return self._reader.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (len(self._reader),) + self._reader.frame_shape
+
+    def _compute_at_indices(self, indices) -> np.ndarray:
+        if isinstance(indices, int):
+            idx = [indices]
+        elif isinstance(indices, slice):
+            idx = list(range(indices.start or 0, indices.stop or self.shape[0], indices.step or 1))
+        else:
+            idx = list(indices)
+        return self._reader.read_frames(idx).astype(np.float32)
+
+
+class RawBinaryArray(PMDDataset):
+    """Headerless binary movie via memmap: shape and dtype supplied by caller.
+
+    This is the fastest path for production streaming (no parsing, the OS page
+    cache does the prefetching) and the format our benchmark generator emits.
+    """
+
+    def __init__(self, filename: str, shape: Tuple[int, int, int], dtype="uint16", offset: int = 0):
+        self.filename = filename
+        self._shape = tuple(shape)
+        self._dtype = np.dtype(dtype)
+        self._mm = np.memmap(filename, dtype=self._dtype, mode="r", offset=offset, shape=self._shape)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self._shape
+
+    def _compute_at_indices(self, indices) -> np.ndarray:
+        return np.asarray(self._mm[indices])
+
+
+class NpyArray(PMDDataset):
+    """.npy movie file, memory-mapped."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
+        self._mm = np.load(filename, mmap_mode="r")
+        if self._mm.ndim != 3:
+            raise ValueError(".npy movie must be (T, d1, d2)")
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._mm.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self._mm.shape
+
+    def _compute_at_indices(self, indices) -> np.ndarray:
+        return np.asarray(self._mm[indices])
+
+
+class ZStackArray:
+    """Multi-plane volumetric movie: a list of per-plane (T, d1, d2) datasets.
+
+    Each plane is an independent PMD problem (BASELINE.json config 5); the
+    pipeline shards planes across the device mesh. This is a thin container,
+    not a PMDDataset — per-plane datasets are fed to the decomposition.
+    """
+
+    def __init__(self, planes: Sequence):
+        if not planes:
+            raise ValueError("ZStackArray needs at least one plane")
+        self.planes = [as_dataset(p) for p in planes]
+        s0 = self.planes[0].shape
+        for p in self.planes[1:]:
+            if p.shape != s0:
+                raise ValueError("All planes must share shape")
+
+    @property
+    def n_planes(self) -> int:
+        return len(self.planes)
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int]:
+        return (self.n_planes,) + tuple(self.planes[0].shape)
+
+
+def as_dataset(obj) -> PMDDataset:
+    """Normalize user input (PMDDataset | ndarray | path) to a PMDDataset."""
+    if isinstance(obj, PMDDataset):
+        return obj
+    if isinstance(obj, np.ndarray):
+        return NumpyArray(obj)
+    if isinstance(obj, str):
+        if obj.endswith((".tif", ".tiff")):
+            return TiffArray(obj)
+        if obj.endswith(".npy"):
+            return NpyArray(obj)
+        raise ValueError(f"Cannot infer dataset type from path: {obj}")
+    # Duck-typed: anything with shape + frame indexing (reference test_pmd.py:54)
+    if hasattr(obj, "shape") and hasattr(obj, "__getitem__"):
+        return obj
+    raise TypeError(f"Cannot interpret {type(obj)} as a PMD dataset")

@@ -1,0 +1,121 @@
+"""Factorized SVD reformat: U·V -> [U R] s Vt without densifying U.
+
+Parity targets: reference ``compute_lowrank_factorized_svd``
+(decomposition.py:936-1010) and ``projected_svd`` (decomposition.py:1013-1060).
+
+TPU rethink: the reference materializes the sparse Gram matrix ``U.T U`` on
+the host with scipy (decomposition.py:974). Our blocked-sparse ``U`` never
+materializes a Gram — the (m, m) quadratic form ``right.T (U.T U) right`` is
+computed from gather + batched panel matmuls, column-chunked to bound HBM.
+Zero-padded slot columns of U contribute exact-zero eigenvalues which are
+dropped by the same ``eig_vals > 0`` cut the reference applies
+(decomposition.py:988-990).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+from jax import Array
+
+from localmd_tpu.blocksparse import BlockSparseMatrix
+from localmd_tpu.ops.linalg import eigh_descending, projected_svd
+
+DEFAULT_COL_CHUNK = 1024
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+class _ScipySparseAdapter:
+    """Minimal product interface over a scipy sparse U (host compute), so the
+    public API also accepts reference-style scipy matrices."""
+
+    def __init__(self, u):
+        self._u = u.tocsr()
+        self.shape = u.shape
+
+    def gram_matmul(self, x: Array, col_chunk=None) -> Array:
+        host = self._u.T.dot(self._u.dot(np.asarray(x)))
+        return jnp.asarray(host)
+
+    def gram_quadratic(self, right: Array, col_chunk=None) -> Array:
+        g = _mm(jnp.asarray(right).T, self.gram_matmul(right))
+        return 0.5 * (g + g.T)
+
+
+def _as_product_operator(u):
+    if isinstance(u, BlockSparseMatrix):
+        return u
+    if scipy.sparse.issparse(u):
+        return _ScipySparseAdapter(u)
+    raise TypeError(f"Unsupported spatial matrix type: {type(u)}")
+
+
+def compute_lowrank_factorized_svd(
+    u: Union[BlockSparseMatrix, "scipy.sparse.spmatrix"],
+    v: Array,
+    only_left: bool = False,
+    col_chunk: int = DEFAULT_COL_CHUNK,
+):
+    """SVD of the low-rank product ``u @ v``.
+
+    Args:
+        u: (d, R) sparse spatial factor (blocked-sparse or scipy).
+        v: (R, T) dense temporal factor (zero rows at padded slots are fine).
+        only_left: if True return only the spatial mixing matrix P
+            ((R, r'), U @ P orthonormal).
+
+    Returns:
+        P if ``only_left`` else (P', s, Vt) such that (U P') s Vt = U V.
+    """
+    op = _as_product_operator(u)
+    r_cols = op.shape[1]
+    v = jnp.asarray(v)
+    t = v.shape[1]
+
+    # Reference branch (decomposition.py:976-979): work in V's row space when
+    # U has more columns than V has frames, else in the full column space.
+    if r_cols > t:
+        right = v
+    else:
+        right = jnp.eye(r_cols, dtype=v.dtype)
+
+    quad = op.gram_quadratic(right, col_chunk=col_chunk)   # (m, m)
+    eig_vals, eig_vecs = eigh_descending(quad)
+    eig_vals_np = np.asarray(eig_vals)
+    # The reference keeps eig_vals > 0 (decomposition.py:988); with our
+    # zero-padded slot columns the Gram has an exact null space whose
+    # eigenvalues surface as +/- float noise, so an absolute-zero cut would
+    # keep garbage directions (then amplified by 1/sigma). Use a relative
+    # cut at f32-Gram precision instead.
+    tol = max(float(eig_vals_np[0]), 0.0) * 1e-6
+    good = eig_vals_np > tol
+    idx = np.nonzero(good)[0]
+    eig_vecs = jnp.take(eig_vecs, jnp.asarray(idx), axis=1)
+    sing = jnp.sqrt(jnp.asarray(eig_vals_np[good]))
+
+    p = _mm(right, eig_vecs) / sing[None, :]                # (R, r')
+
+    if only_left:
+        return p
+
+    new_temporal = _mm(p.T, op.gram_matmul(v, col_chunk=col_chunk))  # (r', T)
+    return projected_svd(p, new_temporal)
+
+
+def final_svd_reformat(
+    p: Array, v: Array
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """R, s, Vt from the mixing matrix and regressed temporal matrix, dropping
+    exact-zero singular values (reference decomposition.py:896-904)."""
+    r, s, vt = projected_svd(jnp.asarray(p), jnp.asarray(v))
+    r = np.asarray(r)
+    s = np.asarray(s)
+    vt = np.asarray(vt)
+    good = s != 0
+    return r[:, good], s[good], vt[good, :]

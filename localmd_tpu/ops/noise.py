@@ -1,0 +1,98 @@
+"""Streaming per-pixel noise estimation (Welch PSD high-frequency floor).
+
+The reference estimates each pixel's noise sigma as the square root of the
+mean one-sided Welch PSD over the upper-frequency half-band, computed one
+pixel-trace at a time under ``vmap`` with ``jax.scipy.signal.welch``
+(reference preprocessing_utils.py:28-40). We reimplement Welch directly as a
+single batched segment/rfft program over a ``(pixels, T)`` tile so the whole
+spatial tile is one XLA program: strided segment gather -> per-segment
+constant detrend -> periodic Hann window -> rfft -> scaled periodogram ->
+segment average -> band mean -> sqrt. This removes the per-pixel vmap of a
+host-level scipy port and keeps everything fusible.
+
+Welch parameters are pinned to the reference call signature
+(``welch(trace, noverlap=128)`` with scipy defaults): fs=1, nperseg=256,
+noverlap=128, hann(sym=False), detrend='constant', one-sided density scaling.
+The averaged band is bins [nperseg/4 + 1, nperseg/2 + 1) x 0.5 — including
+the reference's (slight) Nyquist-bin inclusion — so numbers match exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+NPERSEG = 256
+NOVERLAP = 128
+_STEP = NPERSEG - NOVERLAP
+_BAND_START = NPERSEG // 4 + 1   # 65
+_BAND_END = NPERSEG // 2 + 1     # 129 (exclusive)
+
+
+def _hann_periodic(n: int, dtype) -> Array:
+    i = jnp.arange(n, dtype=dtype)
+    return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / n)
+
+
+@jax.jit
+def welch_noise_estimate(traces: Array) -> Array:
+    """Per-trace noise sigma for ``traces`` of shape (..., T), T >= 256.
+
+    Returns shape (...,): sqrt(mean of one-sided Welch PSD x 0.5 over the
+    upper half-band), matching reference ``get_noise_estimate``
+    (reference preprocessing_utils.py:28-37) per trace.
+    """
+    t = traces.shape[-1]
+    if t < NPERSEG:
+        raise ValueError(f"welch_noise_estimate needs at least {NPERSEG} frames, got {t}")
+    dtype = jnp.promote_types(traces.dtype, jnp.float32)
+    traces = traces.astype(dtype)
+
+    n_segs = (t - NPERSEG) // _STEP + 1
+    starts = jnp.arange(n_segs) * _STEP                          # (S,)
+    seg_idx = starts[:, None] + jnp.arange(NPERSEG)[None, :]     # (S, nperseg)
+    segs = traces[..., seg_idx]                                   # (..., S, nperseg)
+
+    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)          # detrend='constant'
+    win = _hann_periodic(NPERSEG, dtype)
+    spec = jnp.fft.rfft(segs * win, axis=-1)                      # (..., S, nperseg//2+1)
+
+    # density scaling: 1 / (fs * sum(win^2)); one-sided doubling then the
+    # reference's x0.5 cancel for interior bins, so apply neither and keep
+    # the Nyquist bin un-halved exactly as the reference arithmetic does:
+    # psd_onesided[k] = 2*|X|^2*scale for 0<k<nyq; ref multiplies by 0.5.
+    # psd_onesided[nyq] = |X|^2*scale; ref multiplies by 0.5.
+    scale = 1.0 / jnp.sum(win * win)
+    p = (spec.real**2 + spec.imag**2) * scale
+    psd = jnp.mean(p, axis=-2)                                    # average over segments
+    band = psd[..., _BAND_START:_BAND_END]
+    # Halve only the Nyquist bin (reference applies 0.5 to doubled one-sided
+    # values; our p is the two-sided value = onesided*0.5 already, except at
+    # Nyquist where onesided == p, so ref's 0.5*onesided = 0.5*p there).
+    band = band.at[..., -1].multiply(0.5)
+    return jnp.sqrt(jnp.mean(band, axis=-1))
+
+
+@jax.jit
+def get_mean_and_noise(movie: Array, mean_divisor: int | Array) -> Tuple[Array, Array]:
+    """Chunk contribution to the running mean + per-pixel noise sigma.
+
+    ``movie``: (d1, d2, T) chunk. The mean term is ``sum over frames /
+    mean_divisor`` (divisor = total frames in the FULL movie, so chunk
+    contributions sum to the global mean) — parity with reference
+    ``get_mean_and_noise`` (reference preprocessing_utils.py:10-20).
+    """
+    partial_mean = jnp.sum(movie, axis=2) / mean_divisor
+    noise = welch_noise_estimate(movie)   # batched over (d1, d2)
+    return partial_mean, noise
+
+
+@jax.jit
+def get_mean_chunk(movie: Array, mean_divisor: int | Array) -> Array:
+    """Mean-only chunk contribution (short chunks skip the noise estimate,
+    reference pmd_loader.py:276-280)."""
+    return jnp.sum(movie, axis=2) / mean_divisor

@@ -1,0 +1,202 @@
+"""FOV tiling: overlapping block grid, pyramid blend weights, patch gather /
+overlap-add scatter, and explicit F/C-order flattening helpers.
+
+TPU-first rethink of the reference's host-side tiling
+(reference decomposition.py:695-853):
+
+- The block grid (50% overlap + tail blocks) is computed once on the host as
+  static metadata (`BlockGrid`); everything derived from it — patch start
+  offsets, global pixel row ids per block — is a static array baked into the
+  compiled program.
+- Patch extraction is a vmapped ``dynamic_slice`` producing the whole
+  ``(n_blocks, b1, b2, T)`` batch in one program (the reference slices numpy
+  per block in a Python loop, decomposition.py:793-796).
+- Overlap-add of per-block images is a single XLA scatter-add over
+  precomputed row ids (the reference round-trips through Python lists and
+  scipy COO, decomposition.py:818-843).
+- The entire factorization is F-order flattened (pixel id = i + j*d1,
+  reference decomposition.py:88 etc.); JAX is C-order, so F-order semantics
+  are encoded here ONCE as explicit transposes (SURVEY.md hard-parts note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+# ---------------------------------------------------------------------------
+# F-order flatten helpers (single source of truth for pixel ordering)
+# ---------------------------------------------------------------------------
+
+def flatten_fov(x: Array, order: str = "F") -> Array:
+    """Flatten (..., d1, d2, T) -> (..., d1*d2, T) with the given pixel order.
+
+    F-order pixel id = i + j*d1 (column-major over the FOV), matching the
+    reference factorization layout.
+    """
+    *batch, d1, d2, t = x.shape
+    if order == "F":
+        x = jnp.swapaxes(x, -3, -2)  # (..., d2, d1, T)
+    return x.reshape(*batch, d1 * d2, t)
+
+
+def unflatten_fov(x: Array, d1: int, d2: int, order: str = "F") -> Array:
+    """Inverse of :func:`flatten_fov`: (..., d1*d2, T) -> (..., d1, d2, T)."""
+    *batch, _, t = x.shape
+    if order == "F":
+        x = x.reshape(*batch, d2, d1, t)
+        return jnp.swapaxes(x, -3, -2)
+    return x.reshape(*batch, d1, d2, t)
+
+
+def flatten_image(x: Array, order: str = "F") -> Array:
+    """Flatten (..., d1, d2) -> (..., d1*d2) with the given pixel order."""
+    *batch, d1, d2 = x.shape
+    if order == "F":
+        x = jnp.swapaxes(x, -2, -1)
+    return x.reshape(*batch, d1 * d2)
+
+
+def unflatten_image(x: Array, d1: int, d2: int, order: str = "F") -> Array:
+    *batch, _ = x.shape
+    if order == "F":
+        x = x.reshape(*batch, d2, d1)
+        return jnp.swapaxes(x, -2, -1)
+    return x.reshape(*batch, d1, d2)
+
+
+# ---------------------------------------------------------------------------
+# Grid construction
+# ---------------------------------------------------------------------------
+
+def _dim_starts(extent: int, block: int, overlap: int) -> List[int]:
+    """Start offsets along one dim: stride (block - overlap) plus a tail block
+    flush with the edge (reference decomposition.py:723-739)."""
+    starts = list(range(0, extent - block + 1, block - overlap))
+    if starts[-1] != extent - block and extent - block != 0:
+        starts.append(extent - block)
+    return starts
+
+
+def update_block_sizes(
+    blocks: Tuple[int, int], fov_shape: Tuple[int, int], min_block_value: int = 10
+) -> List[int]:
+    """Clamp user block sizes to the FOV (reference decomposition.py:572-613)."""
+    if blocks[0] < min_block_value or blocks[1] < min_block_value:
+        raise ValueError(
+            f"Block dimensions must be at least {min_block_value}, got {blocks}"
+        )
+    return [min(blocks[0], fov_shape[0]), min(blocks[1], fov_shape[1])]
+
+
+def check_fov_size(fov_dims: Tuple[int, int], min_allowed_value: int = 10) -> None:
+    """Reference decomposition.py:616-634."""
+    for k in fov_dims:
+        if k < min_allowed_value:
+            raise ValueError(
+                f"FOV dimension {k} is below the minimum of {min_allowed_value}"
+            )
+
+
+def pyramid_weights(b1: int, b2: int, dtype=np.float32) -> np.ndarray:
+    """Center-weighted blending pyramid for overlap-add.
+
+    Closed form of the reference's quadrant-mirrored construction
+    (reference decomposition.py:742-750): w[i, j] = 1 + min(i, b1-1-i, j,
+    b2-1-j). Identical for even block sizes; additionally well-defined for odd
+    sizes (where the reference's flipud mirror would shape-error).
+    """
+    i = np.arange(b1)[:, None]
+    j = np.arange(b2)[None, :]
+    ramp = np.minimum(
+        np.minimum(i, b1 - 1 - i), np.minimum(j, b2 - 1 - j)
+    )
+    return (1.0 + ramp).astype(dtype)
+
+
+@dataclass(frozen=True)
+class BlockGrid:
+    """Static description of the overlapping patch tiling of one FOV."""
+
+    d1: int
+    d2: int
+    block_sizes: Tuple[int, int]
+    order: str = "F"
+    starts: np.ndarray = field(init=False)        # (n_blocks, 2) int32
+    rows: np.ndarray = field(init=False)          # (n_blocks, b1*b2) int32 global pixel ids
+    weights: np.ndarray = field(init=False)       # (b1, b2) pyramid weights
+    cumulative_weights: np.ndarray = field(init=False)  # (d1, d2) summed weights
+
+    def __post_init__(self):
+        b1, b2 = self.block_sizes
+        overlap = (int(np.ceil(b1 / 2)), int(np.ceil(b2 / 2)))
+        s1 = _dim_starts(self.d1, b1, overlap[0])
+        s2 = _dim_starts(self.d2, b2, overlap[1])
+        starts = np.array([(k, j) for k in s1 for j in s2], dtype=np.int32)
+        object.__setattr__(self, "starts", starts)
+
+        # Global pixel row ids per block, flattened in `order` over the block
+        # AND over the FOV (reference sparse_indices grid, decomposition.py:752).
+        ii = np.arange(b1, dtype=np.int64)[:, None]
+        jj = np.arange(b2, dtype=np.int64)[None, :]
+        rows_all = []
+        for (k, j) in starts:
+            gi = k + ii
+            gj = j + jj
+            pix = gi + gj * self.d1 if self.order == "F" else gi * self.d2 + gj
+            rows_all.append(
+                pix.flatten(order=self.order)
+            )
+        object.__setattr__(self, "rows", np.stack(rows_all).astype(np.int32))
+
+        w = pyramid_weights(b1, b2)
+        object.__setattr__(self, "weights", w)
+        cum = np.zeros((self.d1, self.d2), dtype=np.float64)
+        for (k, j) in starts:
+            cum[k : k + b1, j : j + b2] += w
+        object.__setattr__(self, "cumulative_weights", cum.astype(np.float32))
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.starts)
+
+    @property
+    def pixels_per_block(self) -> int:
+        return self.block_sizes[0] * self.block_sizes[1]
+
+
+# ---------------------------------------------------------------------------
+# Patch gather / overlap-add scatter (device ops)
+# ---------------------------------------------------------------------------
+
+def extract_patches(data: Array, starts: Array, b1: int, b2: int) -> Array:
+    """Gather overlapping patches: data (d1, d2, T) + starts (n, 2)
+    -> (n, b1, b2, T) via vmapped dynamic_slice."""
+
+    t = data.shape[-1]
+
+    def _one(st):
+        return jax.lax.dynamic_slice(data, (st[0], st[1], 0), (b1, b2, t))
+
+    return jax.vmap(_one)(starts)
+
+
+def overlap_add(
+    panels: Array, rows: Array, n_pixels: int
+) -> Array:
+    """Scatter-add per-block panels into a global pixel-indexed array.
+
+    panels: (n_blocks, p, k); rows: (n_blocks, p) global pixel ids.
+    Returns (n_pixels, k) with overlapping contributions summed.
+    """
+    k = panels.shape[-1]
+    flat_vals = panels.reshape(-1, k)
+    flat_rows = rows.reshape(-1)
+    out = jnp.zeros((n_pixels, k), dtype=panels.dtype)
+    return out.at[flat_rows].add(flat_vals)

@@ -1,0 +1,280 @@
+"""End-to-end PMD pipeline: ``localmd_decomposition``.
+
+Orchestrates the full flow (parity with the reference entry point,
+reference decomposition.py:643-909):
+
+  stream stats -> background SVD -> frame sampling -> threshold Monte-Carlo
+  -> standardize + background-filter init frames (device-resident)
+  -> batched windowed blockwise decomposition over the WHOLE patch grid
+  -> pyramid-weighted overlap-add normalization (blocked-sparse U)
+  -> factorized SVD (only_left) -> streaming V regression (full movie)
+  -> final SVD reformat -> PMDArray.
+
+The block loop is replaced by chunked batched kernels: blocks are processed
+in fixed-size batches (padded on the last chunk) so a handful of compiled
+programs cover any FOV. Chunk size bounds patch HBM:
+chunk * b1 * b2 * T_init * 4 bytes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from localmd_tpu.blocksparse import BlockSparseMatrix
+from localmd_tpu.dataset import as_dataset
+from localmd_tpu.engine import (
+    identity,
+    threshold_heuristic,
+    windowed_pmd_batched,
+)
+from localmd_tpu.factorization import compute_lowrank_factorized_svd, final_svd_reformat
+from localmd_tpu.loader import PMDLoader
+from localmd_tpu.ops.tiling import (
+    BlockGrid,
+    check_fov_size,
+    extract_patches,
+    flatten_image,
+    update_block_sizes,
+)
+from localmd_tpu.pmd_array import PMDArray
+from localmd_tpu.utils import display, make_key
+
+
+def identify_window_chunks(
+    frame_range: int, total_frames: int, window_chunks: int
+) -> list:
+    """Sample non-overlapping contiguous chunks of frames for initialization
+    (reference decomposition.py:528-569)."""
+    if frame_range > total_frames:
+        raise ValueError("Requested more frames than available")
+    if window_chunks > frame_range:
+        raise ValueError("The size of each temporal chunk is bigger than frame range")
+
+    num_intervals = math.ceil(frame_range / window_chunks)
+    available = np.arange(0, total_frames, window_chunks)
+    if available[-1] > total_frames - window_chunks:
+        available[-1] = total_frames - window_chunks
+    starts = np.sort(np.random.choice(available, size=num_intervals, replace=False))
+    display(f"sampled from the following regions: {starts}")
+
+    net_frames: list = []
+    for k in starts:
+        net_frames.extend(range(int(k), int(min(k + window_chunks, total_frames))))
+    return net_frames
+
+
+def localmd_decomposition(
+    dataset_obj,
+    block_sizes: Tuple[int, int],
+    frame_range: int,
+    max_components: int = 50,
+    background_rank: int = 15,
+    sim_conf: float = 5,
+    frame_batch_size: int = 10000,
+    dtype: str = "float32",
+    num_workers: int = 0,
+    pixel_batch_size: int = 5000,
+    max_consecutive_failures: int = 1,
+    rank_prune: bool = False,
+    rank_prune_factor: float = 0.33,
+    temporal_avg_factor: int = 10,
+    spatial_avg_factor: int = 2,
+    order: str = "F",
+    window_chunks: Optional[int] = None,
+    compute_normalizer: bool = True,
+    pixel_weighting: Optional[np.ndarray] = None,
+    spatial_denoiser: Optional[Callable] = None,
+    temporal_denoiser: Optional[Callable] = None,
+    seed: Optional[int] = None,
+    block_batch_size: int = 256,
+    sim_iters: int = 250,
+) -> PMDArray:
+    """Run the full PMD compression/denoising pipeline (reference signature,
+    decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``).
+    """
+    dataset_obj = as_dataset(dataset_obj)
+    check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
+    if seed is not None:
+        np.random.seed(seed)
+    key = make_key(seed)
+
+    load_obj = PMDLoader(
+        dataset_obj,
+        dtype=dtype,
+        background_rank=background_rank,
+        batch_size=frame_batch_size,
+        pixel_batch_size=pixel_batch_size,
+        order=order,
+        compute_normalizer=compute_normalizer,
+        seed=seed,
+    )
+
+    t_total, d1, d2 = load_obj.shape
+    if window_chunks is None:
+        window_chunks = frame_range
+
+    # -- frame sampling (reference decomposition.py:678-693) ------------------
+    if t_total < frame_range:
+        display("WARNING: requested more frames than the dataset has")
+        frame_range = t_total
+        frames = list(range(t_total))
+        window_chunks = min(window_chunks, frame_range)
+    else:
+        window_chunks = min(window_chunks, frame_range)
+        frames = identify_window_chunks(frame_range, t_total, window_chunks)
+    display(f"Initializing on a total of {len(frames)} frames")
+
+    block_sizes = update_block_sizes(tuple(block_sizes), (d1, d2))
+    b1, b2 = block_sizes
+
+    # -- thresholds (reference decomposition.py:700-711) ----------------------
+    display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
+    key, sub = jax.random.split(key)
+    spatial_threshold, temporal_threshold = threshold_heuristic(
+        (b1, b2, window_chunks),
+        num_comps=1,
+        iters=sim_iters,
+        percentile_threshold=sim_conf,
+        key=sub,
+    )
+
+    # -- load + filter init frames (device-resident) --------------------------
+    display("Loading and filtering initialization frames")
+    data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
+    if pixel_weighting is not None:
+        data = data * jnp.asarray(pixel_weighting, dtype=data.dtype)[:, :, None]
+
+    t_init = data.shape[2]
+    if temporal_avg_factor >= t_init:
+        raise ValueError(f"Need at least {temporal_avg_factor} frames")
+    if t_init // temporal_avg_factor <= max_components:
+        max_components = int(t_init // temporal_avg_factor)
+        display(
+            f"WARNING: temporal avg factor too big; max rank per block adjusted "
+            f"to {max_components}"
+        )
+    # rSVD sketch needs rank + oversamples <= binned frames & downsampled pixels
+    sketch_limit = min(
+        t_init // temporal_avg_factor,
+        (b1 // spatial_avg_factor + (b1 % spatial_avg_factor > 0))
+        * (b2 // spatial_avg_factor + (b2 % spatial_avg_factor > 0)),
+    ) - 10
+    if max_components > sketch_limit:
+        max_components = int(sketch_limit)
+        display(f"WARNING: max rank clamped to {max_components} for the rSVD sketch")
+
+    crop_avg_constant = (t_init // temporal_avg_factor) * temporal_avg_factor
+    temporal_basis_crop = temporal_basis_crop[:, :crop_avg_constant]
+    data_crop = data[:, :, :crop_avg_constant]
+
+    # -- batched blockwise decomposition --------------------------------------
+    grid = BlockGrid(d1, d2, (b1, b2), order=order)
+    n_blocks = grid.n_blocks
+    display(
+        f"Decomposing {n_blocks} overlapping blocks "
+        f"({b1}x{b2}, max {max_components} comps/block) in batches of "
+        f"{min(block_batch_size, n_blocks)}"
+    )
+
+    starts_dev = jnp.asarray(grid.starts)
+    panels_chunks, counts_chunks, temporal_chunks = [], [], []
+    bb = min(block_batch_size, n_blocks)
+    for s in range(0, n_blocks, bb):
+        idx = np.arange(s, min(s + bb, n_blocks))
+        pad = bb - len(idx)
+        idx_padded = np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
+        patch_batch = extract_patches(
+            data_crop, starts_dev[jnp.asarray(idx_padded)], b1, b2
+        )
+        key, sub = jax.random.split(key)
+        result = windowed_pmd_batched(
+            patch_batch,
+            sub,
+            window_chunks if window_chunks < crop_avg_constant else crop_avg_constant,
+            max_components,
+            spatial_threshold,
+            temporal_threshold,
+            max_consecutive_failures,
+            temporal_avg_factor,
+            spatial_avg_factor,
+            spatial_denoiser if spatial_denoiser is not None else identity,
+            temporal_denoiser if temporal_denoiser is not None else identity,
+        )
+        sl = slice(0, len(idx))
+        panels_chunks.append(result.spatial[sl])
+        counts_chunks.append(result.counts[sl])
+        temporal_chunks.append(result.temporal[sl])
+
+    panels = jnp.concatenate(panels_chunks, axis=0)      # (N, p, S)
+    counts = np.asarray(jnp.concatenate(counts_chunks))  # (N,)
+    v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
+
+    total_rank = int(counts.sum())
+    display(f"Total blockwise rank (pre-background): {total_rank}")
+
+    # -- pyramid-weight + normalize + assemble U -------------------------------
+    weights_flat = jnp.asarray(
+        flatten_image(jnp.asarray(grid.weights), order)
+    )                                                     # (p,)
+    cum_flat = jnp.asarray(
+        flatten_image(jnp.asarray(grid.cumulative_weights), order)
+    )                                                     # (d,)
+    rows_dev = jnp.asarray(grid.rows)                     # (N, p)
+    panels = panels * weights_flat[None, :, None]
+    panels = panels / cum_flat[rows_dev][:, :, None]
+
+    u = BlockSparseMatrix(
+        panels=panels,
+        rows=rows_dev,
+        n_pixels=d1 * d2,
+        dense_basis=jnp.asarray(load_obj.spatial_basis),
+    )
+
+    # V rows must mirror U's column layout: padded block slots then background.
+    v_cropped = jnp.concatenate(
+        [v_blocks.reshape(n_blocks * max_components, -1), temporal_basis_crop], axis=0
+    )
+
+    # -- factorized SVD / rank prune (reference decomposition.py:861-881) ------
+    k_bg = u.dense_basis.shape[1]
+    display(f"Rank before pruning: {total_rank + k_bg}")
+    if rank_prune:
+        if rank_prune_factor <= 0 or rank_prune_factor > 1:
+            raise ValueError("rank_prune_factor must be in (0, 1]")
+        min_dim = min(total_rank + k_bg, v_cropped.shape[1])
+        key, sub = jax.random.split(key)
+        random_mat = jax.random.normal(
+            sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
+        )
+        projected_v = jnp.matmul(v_cropped, random_mat)
+        p = compute_lowrank_factorized_svd(u, projected_v, only_left=True)
+    else:
+        p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True)
+    display(f"Rank after reduction: {p.shape[1]}")
+
+    # -- streaming temporal regression (full movie, second pass) ---------------
+    display("Running streaming V regression over the full movie")
+    v = load_obj.v_projection(u, p)
+
+    # -- final reformat ---------------------------------------------------------
+    display("Final SVD reformat")
+    r, s_vals, vt = final_svd_reformat(np.asarray(p), v)
+    display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
+
+    return PMDArray(
+        u,
+        r,
+        s_vals,
+        vt,
+        load_obj.shape,
+        order,
+        load_obj.mean_img,
+        load_obj.std_img,
+        counts=counts,
+    )

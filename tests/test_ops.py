@@ -1,0 +1,258 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal
+
+from localmd_tpu.ops.linalg import (
+    batched_truncated_random_svd,
+    projected_svd,
+    svd_gram_left,
+    svd_gram_right,
+    truncated_random_svd,
+)
+from localmd_tpu.ops.noise import welch_noise_estimate
+from localmd_tpu.ops.pooling import downsample_average_pooling
+from localmd_tpu.ops.roughness import (
+    evaluate_fitness,
+    filter_by_failures,
+    filter_by_failures_np,
+    spatial_roughness_stat,
+    temporal_roughness_stat,
+)
+from localmd_tpu.ops.tiling import (
+    BlockGrid,
+    extract_patches,
+    flatten_fov,
+    overlap_add,
+    pyramid_weights,
+    unflatten_fov,
+)
+
+
+class TestLinalg:
+    def test_svd_gram_left_matches_numpy(self, rng):
+        a = rng.standard_normal((8, 50)).astype(np.float32)
+        u, s, vt = svd_gram_left(jnp.asarray(a))
+        s_np = np.linalg.svd(a, compute_uv=False)
+        # Gram squaring in f32 limits accuracy to ~1e-3 relative
+        np.testing.assert_allclose(np.asarray(s), s_np, rtol=5e-3, atol=1e-3)
+        # reconstruction
+        np.testing.assert_allclose(
+            np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt), a, atol=1e-3
+        )
+        # orthonormality
+        np.testing.assert_allclose(np.asarray(u).T @ np.asarray(u), np.eye(8), atol=1e-4)
+
+    def test_svd_gram_right_matches_numpy(self, rng):
+        a = rng.standard_normal((60, 7)).astype(np.float32)
+        u, s, vt = svd_gram_right(jnp.asarray(a))
+        s_np = np.linalg.svd(a, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(s), s_np, rtol=5e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt), a, atol=1e-3
+        )
+
+    def test_truncated_random_svd_low_rank_recovery(self, rng):
+        # Exactly rank-5 matrix: rSVD with rank 5 must reconstruct it.
+        left = rng.standard_normal((200, 5)).astype(np.float32)
+        right = rng.standard_normal((5, 120)).astype(np.float32)
+        a = left @ right
+        u, s, vt = truncated_random_svd(jnp.asarray(a), jax.random.PRNGKey(0), 5)
+        recon = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+        rel = np.linalg.norm(recon - a) / np.linalg.norm(a)
+        assert rel < 1e-4
+        # singular values match numpy's top-5
+        s_np = np.linalg.svd(a, compute_uv=False)[:5]
+        np.testing.assert_allclose(np.asarray(s), s_np, rtol=1e-3)
+
+    def test_truncated_random_svd_orthonormal_u(self, rng):
+        a = rng.standard_normal((100, 80)).astype(np.float32)
+        u, _, _ = truncated_random_svd(jnp.asarray(a), jax.random.PRNGKey(1), 10)
+        gram = np.asarray(u).T @ np.asarray(u)
+        np.testing.assert_allclose(gram, np.eye(10), atol=1e-4)
+
+    def test_batched_matches_single(self, rng):
+        mats = rng.standard_normal((3, 50, 40)).astype(np.float32)
+        keys = jax.random.split(jax.random.PRNGKey(2), 3)
+        ub, sb, vb = batched_truncated_random_svd(jnp.asarray(mats), keys, 6)
+        for i in range(3):
+            u1, s1, v1 = truncated_random_svd(jnp.asarray(mats[i]), keys[i], 6)
+            np.testing.assert_allclose(np.asarray(ub[i]), np.asarray(u1), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(sb[i]), np.asarray(s1), atol=1e-5)
+
+    def test_projected_svd(self, rng):
+        p = np.linalg.qr(rng.standard_normal((40, 12)))[0].astype(np.float32)
+        v = rng.standard_normal((12, 300)).astype(np.float32)
+        r, s, vt = projected_svd(jnp.asarray(p), jnp.asarray(v))
+        recon = np.asarray(r) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+        np.testing.assert_allclose(recon, p @ v, atol=1e-3)
+        # rows of vt orthonormal (nonzero s part)
+        vt_np = np.asarray(vt)
+        np.testing.assert_allclose(vt_np @ vt_np.T, np.eye(12), atol=1e-3)
+
+
+class TestWelchNoise:
+    def test_matches_scipy_welch(self, rng):
+        t = 1024
+        traces = rng.standard_normal((5, t)).astype(np.float32)
+        ours = np.asarray(welch_noise_estimate(jnp.asarray(traces)))
+        # scipy oracle replicating the reference formula
+        # (reference preprocessing_utils.py:28-37)
+        f, pxx = scipy.signal.welch(traces, noverlap=128, nperseg=256, axis=-1)
+        band = pxx[:, 65:129] * 0.5
+        expected = np.sqrt(band.mean(axis=-1))
+        np.testing.assert_allclose(ours, expected, rtol=1e-4)
+
+    def test_white_noise_sigma_recovery(self, rng):
+        sigma = 3.7
+        traces = sigma * rng.standard_normal((20, 2048)).astype(np.float32)
+        est = np.asarray(welch_noise_estimate(jnp.asarray(traces)))
+        np.testing.assert_allclose(est.mean(), sigma, rtol=0.05)
+
+    def test_batch_shape(self, rng):
+        x = rng.standard_normal((4, 6, 512)).astype(np.float32)
+        out = welch_noise_estimate(jnp.asarray(x))
+        assert out.shape == (4, 6)
+
+
+class TestRoughness:
+    def _spatial_oracle(self, u):
+        vert = np.abs(np.diff(u, axis=0))
+        horiz = np.abs(np.diff(u, axis=1))
+        avg = (vert.sum() + horiz.sum()) / (vert.size + horiz.size)
+        return avg / np.abs(u).mean()
+
+    def _temporal_oracle(self, v):
+        return np.abs(v[:-2] + v[2:] - 2 * v[1:-1]).mean() / np.abs(v).mean()
+
+    def test_spatial_stat(self, rng):
+        u = rng.standard_normal((16, 12)).astype(np.float32)
+        ours = float(spatial_roughness_stat(jnp.asarray(u)))
+        np.testing.assert_allclose(ours, self._spatial_oracle(u), rtol=1e-5)
+
+    def test_temporal_stat(self, rng):
+        v = rng.standard_normal(200).astype(np.float32)
+        ours = float(temporal_roughness_stat(jnp.asarray(v)))
+        np.testing.assert_allclose(ours, self._temporal_oracle(v), rtol=1e-5)
+
+    def test_batched_stats(self, rng):
+        u = rng.standard_normal((3, 5, 16, 12)).astype(np.float32)
+        out = np.asarray(spatial_roughness_stat(jnp.asarray(u)))
+        assert out.shape == (3, 5)
+        np.testing.assert_allclose(out[1, 2], self._spatial_oracle(u[1, 2]), rtol=1e-5)
+
+    def test_smooth_vs_noise_separation(self, rng):
+        # smooth gaussian blob should have much lower roughness than noise
+        x, y = np.meshgrid(np.linspace(-2, 2, 20), np.linspace(-2, 2, 20))
+        blob = np.exp(-(x**2 + y**2)).astype(np.float32)
+        noise = rng.standard_normal((20, 20)).astype(np.float32)
+        assert float(spatial_roughness_stat(jnp.asarray(blob))) < 0.5 * float(
+            spatial_roughness_stat(jnp.asarray(noise))
+        )
+
+    def test_evaluate_fitness(self, rng):
+        imgs = rng.standard_normal((4, 10, 10)).astype(np.float32)
+        traces = rng.standard_normal((4, 50)).astype(np.float32)
+        out = np.asarray(
+            evaluate_fitness(jnp.asarray(imgs), jnp.asarray(traces), 1e9, 1e9)
+        )
+        np.testing.assert_array_equal(out, np.ones(4, dtype=np.int32))
+        out0 = np.asarray(
+            evaluate_fitness(jnp.asarray(imgs), jnp.asarray(traces), -1.0, 1e9)
+        )
+        np.testing.assert_array_equal(out0, np.zeros(4, dtype=np.int32))
+
+    @pytest.mark.parametrize("max_fails", [1, 2, 3])
+    def test_filter_by_failures_matches_oracle(self, rng, max_fails):
+        for _ in range(20):
+            dec = rng.random(12) > 0.4
+            ours = np.asarray(filter_by_failures(jnp.asarray(dec), max_fails))
+            oracle = filter_by_failures_np(dec, max_fails)
+            np.testing.assert_array_equal(ours, oracle)
+
+    def test_filter_by_failures_batched(self, rng):
+        dec = rng.random((5, 10)) > 0.5
+        ours = np.asarray(filter_by_failures(jnp.asarray(dec), 2))
+        for i in range(5):
+            np.testing.assert_array_equal(ours[i], filter_by_failures_np(dec[i], 2))
+
+
+class TestPooling:
+    def test_matches_manual_average(self, rng):
+        x = rng.standard_normal((8, 8, 3)).astype(np.float32)
+        out = np.asarray(downsample_average_pooling(jnp.asarray(x), 2))
+        assert out.shape == (4, 4, 3)
+        expected = x.reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+    def test_uneven_edges_count_normalized(self, rng):
+        x = rng.standard_normal((5, 7, 2)).astype(np.float32)
+        out = np.asarray(downsample_average_pooling(jnp.asarray(x), 2))
+        assert out.shape == (3, 4, 2)
+        # last row pools only 1 row of pixels; value = average of those
+        np.testing.assert_allclose(out[2, 0], x[4, 0:2].mean(axis=0), rtol=1e-5)
+
+    def test_batched(self, rng):
+        x = rng.standard_normal((6, 8, 8, 3)).astype(np.float32)
+        out = np.asarray(downsample_average_pooling(jnp.asarray(x), 2))
+        assert out.shape == (6, 4, 4, 3)
+        single = np.asarray(downsample_average_pooling(jnp.asarray(x[2]), 2))
+        np.testing.assert_allclose(out[2], single, rtol=1e-5)
+
+
+class TestTiling:
+    def test_pyramid_weights_match_reference_construction(self):
+        # replicate the reference quadrant-mirror construction for even sizes
+        # (reference decomposition.py:742-750)
+        for (b1, b2) in [(16, 16), (32, 20), (10, 14)]:
+            w_ref = np.ones((b1, b2), dtype=np.float32)
+            hbh, hbw = b1 // 2, b2 // 2
+            w_ref[:hbh, :hbw] += np.minimum(
+                np.tile(np.arange(0, hbw), (hbh, 1)),
+                np.tile(np.arange(0, hbh), (hbw, 1)).T,
+            )
+            w_ref[:hbh, hbw:] = np.fliplr(w_ref[:hbh, :hbw])
+            w_ref[hbh:, :] = np.flipud(w_ref[:hbh, :])
+            np.testing.assert_array_equal(pyramid_weights(b1, b2), w_ref)
+
+    def test_grid_starts_cover_fov(self):
+        grid = BlockGrid(100, 75, (32, 20))
+        b1, b2 = grid.block_sizes
+        covered = np.zeros((100, 75), dtype=bool)
+        for (k, j) in grid.starts:
+            covered[k : k + b1, j : j + b2] = True
+        assert covered.all()
+        assert (grid.starts[:, 0] + b1 <= 100).all()
+        assert (grid.starts[:, 1] + b2 <= 75).all()
+
+    def test_rows_match_forder_pixels(self):
+        grid = BlockGrid(10, 8, (10, 8))
+        # single block covering everything: rows = F-order ids of block pixels
+        expected = np.arange(80).reshape((10, 8), order="F").flatten(order="F")
+        np.testing.assert_array_equal(grid.rows[0], expected)
+
+    def test_flatten_roundtrip(self, rng):
+        x = rng.standard_normal((4, 6, 3)).astype(np.float32)
+        flat = flatten_fov(jnp.asarray(x))
+        # F-order semantics: pixel id i + j*d1
+        np.testing.assert_allclose(
+            np.asarray(flat), x.reshape(24, 3, order="F"), rtol=1e-6
+        )
+        back = unflatten_fov(flat, 4, 6)
+        np.testing.assert_allclose(np.asarray(back), x, rtol=1e-6)
+
+    def test_extract_patches(self, rng):
+        data = rng.standard_normal((20, 18, 5)).astype(np.float32)
+        starts = jnp.asarray([[0, 0], [4, 6], [10, 10]])
+        patches = np.asarray(extract_patches(jnp.asarray(data), starts, 8, 8))
+        np.testing.assert_allclose(patches[1], data[4:12, 6:14, :])
+
+    def test_overlap_add(self, rng):
+        panels = rng.standard_normal((2, 4, 3)).astype(np.float32)
+        rows = jnp.asarray([[0, 1, 2, 3], [2, 3, 4, 5]])
+        out = np.asarray(overlap_add(jnp.asarray(panels), rows, 6))
+        expected = np.zeros((6, 3), dtype=np.float32)
+        expected[0:4] += panels[0]
+        expected[2:6] += panels[1]
+        np.testing.assert_allclose(out, expected, rtol=1e-5)
