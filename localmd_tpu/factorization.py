@@ -109,13 +109,21 @@ def compute_lowrank_factorized_svd(
 
 
 def final_svd_reformat(
-    p: Array, v: Array
+    p: Array, v: Array, rel_tol: float = 1e-3
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """R, s, Vt from the mixing matrix and regressed temporal matrix, dropping
-    exact-zero singular values (reference decomposition.py:896-904)."""
+    """R, s, Vt from the mixing matrix and regressed temporal matrix.
+
+    The reference drops only exact-zero singular values
+    (decomposition.py:896-904); in f32 the Gram-trick SVD produces garbage
+    directions for any s below ~sqrt(eps) * s_max, so by default we also
+    prune those (default rel_tol=1e-3, above sqrt(eps_f32)*s_max ~ the Gram
+    noise floor; such components carry < 1e-6 of the movie's variance).
+    Pass rel_tol=0 for strict reference parity.
+    """
     r, s, vt = projected_svd(jnp.asarray(p), jnp.asarray(v))
     r = np.asarray(r)
     s = np.asarray(s)
     vt = np.asarray(vt)
-    good = s != 0
+    cutoff = rel_tol * s[0] if (len(s) and rel_tol > 0) else 0.0
+    good = s > cutoff if cutoff > 0 else s != 0
     return r[:, good], s[good], vt[good, :]

@@ -1,0 +1,141 @@
+"""shard_map'd phases of the PMD pipeline.
+
+Three SPMD phases (see mesh.py for the parallelism map):
+
+1. ``sharded_block_decomposition`` — the windowed per-block engine with the
+   patch batch sharded over the mesh's block axis. Pure data parallelism:
+   the init movie is replicated, each chip extracts + decomposes its own
+   patches; NO collectives inside.
+2. ``sharded_v_projection_chunk`` — frames-axis data parallelism for the
+   streaming temporal regression; NO collectives (the host concatenates
+   chunk results).
+3. ``sharded_gram_quadratic`` — right.T (U.T U) right with U's panels
+   sharded over blocks: each chip scatter-adds its panels' contribution to
+   Z = U @ right, one ``psum`` combines the overlap seams, then the (m, m)
+   product is computed on the local m-shard. This is the only place the
+   block-overlap structure induces cross-chip traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from localmd_tpu.parallel.mesh import BLOCK_AXIS
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+
+def sharded_block_decomposition(
+    mesh: Mesh,
+    local_fn: Callable[[Array, Array], Tuple[Array, Array, Array]],
+    patches: Array,
+    keys: Array,
+) -> Tuple[Array, Array, Array]:
+    """Run a batched per-block kernel with the block axis sharded.
+
+    Args:
+        local_fn: (patches_shard (nb_local, b1, b2, t), keys_shard) ->
+            (u, decisions, v) — e.g. a partial of single_block_md_batched.
+        patches: (n_blocks, b1, b2, t), n_blocks divisible by mesh size.
+        keys: (n_blocks, 2).
+    """
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return f(patches, keys)
+
+
+def sharded_v_projection_chunk(
+    mesh: Mesh,
+    panels: Array,
+    rows: Array,
+    dense_basis: Array,
+    p_matrix: Array,
+    chunk_flat: Array,
+    mean_flat: Array,
+    std_flat: Array,
+) -> Array:
+    """V chunk = P^T U^T standardize(X) with the frame axis sharded.
+
+    ``chunk_flat``: (d, t_c) raw frames, F-order flattened. U (panels/rows/
+    dense_basis) and P are replicated; each chip handles t_c / n_dev frames.
+    """
+
+    def local(chunk_l, panels_r, rows_r, bg_r, p_r, mean_r, std_r):
+        x = (chunk_l - mean_r[:, None]) / std_r[:, None]
+        gathered = x[rows_r]                              # (n, p, t_l)
+        block_part = _mm(jnp.swapaxes(panels_r, -1, -2), gathered)
+        block_part = block_part.reshape(-1, x.shape[1])
+        bg_part = _mm(bg_r.T, x)
+        utx = jnp.concatenate([block_part, bg_part], axis=0)
+        return _mm(p_r.T, utx)                            # (r', t_l)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, BLOCK_AXIS), P(), P(), P(), P(), P(), P()),
+        out_specs=P(None, BLOCK_AXIS),
+        check_vma=False,
+    )
+    return f(chunk_flat, panels, rows, dense_basis, p_matrix, mean_flat, std_flat)
+
+
+def sharded_gram_quadratic(
+    mesh: Mesh,
+    panels: Array,
+    rows: Array,
+    dense_basis: Array,
+    right: Array,
+    n_pixels: int,
+) -> Array:
+    """Symmetrized right.T (U.T U) right with block panels sharded.
+
+    Each chip computes its local blocks' scatter contribution to
+    Z = U @ right, a psum over the block axis assembles the full Z
+    (this is where the pyramid-overlap seams cross chips), and the
+    (m, m) result is reduced from Z^T Z.
+    """
+    n_blocks, _, slots = panels.shape
+    m = right.shape[1]
+
+    def local(panels_l, rows_l, bg_r, right_r):
+        nb_l = panels_l.shape[0]
+        axis_idx = jax.lax.axis_index(BLOCK_AXIS)
+        col_start = axis_idx * (nb_l * slots)
+        right_l = jax.lax.dynamic_slice(
+            right_r, (col_start, 0), (nb_l * slots, m)
+        ).reshape(nb_l, slots, m)
+        contrib = _mm(panels_l, right_l)                  # (nb_l, p, m)
+        z_local = jnp.zeros((n_pixels, m), dtype=contrib.dtype)
+        z_local = z_local.at[rows_l.reshape(-1)].add(
+            contrib.reshape(-1, m)
+        )
+        z = jax.lax.psum(z_local, BLOCK_AXIS)             # overlap seams combined
+        # background columns live at the tail of `right`, replicated
+        z = z + _mm(bg_r, right_r[n_blocks * slots :])
+        quad = _mm(z.T, z)
+        return quad
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    quad = f(panels, rows, dense_basis, right)
+    return 0.5 * (quad + quad.T)

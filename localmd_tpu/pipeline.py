@@ -94,6 +94,7 @@ def localmd_decomposition(
     seed: Optional[int] = None,
     block_batch_size: int = 256,
     sim_iters: int = 250,
+    final_rank_tol: float = 1e-3,
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``).
@@ -264,7 +265,7 @@ def localmd_decomposition(
 
     # -- final reformat ---------------------------------------------------------
     display("Final SVD reformat")
-    r, s_vals, vt = final_svd_reformat(np.asarray(p), v)
+    r, s_vals, vt = final_svd_reformat(np.asarray(p), v, rel_tol=final_rank_tol)
     display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
 
     return PMDArray(

@@ -34,8 +34,22 @@ def make_low_rank_movie(rank, dims, rng=None, noise=0.0):
     reference test/test_pmd.py:7-11), optional additive noise."""
     rng = rng or np.random.default_rng(0)
     t, d1, d2 = dims
-    spatial = rng.random((d1 * d2, rank))
+    # PMD's rank test keeps components that are smooth in space AND time
+    # (real calcium/voltage signals are); white factors would be correctly
+    # rejected as noise, so smooth both factors.
+    spatial = rng.random((d1, d2, rank))
+    for _ in range(4):
+        spatial = 0.2 * (
+            spatial
+            + np.roll(spatial, 1, 0) + np.roll(spatial, -1, 0)
+            + np.roll(spatial, 1, 1) + np.roll(spatial, -1, 1)
+        )
+    spatial = spatial.reshape(d1 * d2, rank)
     temporal = rng.random((rank, t))
+    for _ in range(3):
+        temporal = 0.5 * temporal + 0.25 * (
+            np.roll(temporal, 1, 1) + np.roll(temporal, -1, 1)
+        )
     movie = (spatial @ temporal).T.reshape((t, d1, d2))
     if noise:
         movie = movie + noise * rng.standard_normal(movie.shape)

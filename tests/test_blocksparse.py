@@ -1,0 +1,82 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse
+
+from localmd_tpu.blocksparse import BlockSparseMatrix
+from localmd_tpu.ops.tiling import BlockGrid
+
+
+def make_case(rng, d1=24, d2=20, block=(12, 10), slots=4, k_bg=3):
+    grid = BlockGrid(d1, d2, block)
+    n, p = grid.n_blocks, grid.pixels_per_block
+    panels = rng.standard_normal((n, p, slots)).astype(np.float32)
+    bg = rng.standard_normal((d1 * d2, k_bg)).astype(np.float32)
+    u = BlockSparseMatrix(
+        panels=jnp.asarray(panels),
+        rows=jnp.asarray(grid.rows),
+        n_pixels=d1 * d2,
+        dense_basis=jnp.asarray(bg),
+    )
+    # dense oracle
+    dense = np.zeros((d1 * d2, n * slots + k_bg), dtype=np.float64)
+    for b in range(n):
+        for j in range(slots):
+            dense[grid.rows[b], b * slots + j] += panels[b, :, j]
+    dense[:, n * slots :] = bg
+    return u, dense, grid
+
+
+class TestBlockSparse:
+    def test_matmul_matches_dense(self, rng):
+        u, dense, _ = make_case(rng)
+        x = rng.standard_normal((dense.shape[1], 6)).astype(np.float32)
+        out = np.asarray(u.matmul(jnp.asarray(x)))
+        np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+    def test_rmatmul_matches_dense(self, rng):
+        u, dense, _ = make_case(rng)
+        y = rng.standard_normal((dense.shape[0], 5)).astype(np.float32)
+        out = np.asarray(u.rmatmul(jnp.asarray(y)))
+        np.testing.assert_allclose(out, dense.T @ y, rtol=1e-4, atol=1e-4)
+
+    def test_gram_quadratic(self, rng):
+        u, dense, _ = make_case(rng)
+        right = rng.standard_normal((dense.shape[1], 7)).astype(np.float32)
+        out = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+        expected = right.T @ (dense.T @ (dense @ right))
+        np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(out, out.T, atol=1e-6)  # symmetrized
+
+    def test_gram_matmul_chunked_matches_unchunked(self, rng):
+        u, dense, _ = make_case(rng)
+        x = rng.standard_normal((dense.shape[1], 9)).astype(np.float32)
+        full = np.asarray(u.gram_matmul(jnp.asarray(x)))
+        chunked = np.asarray(u.gram_matmul(jnp.asarray(x), col_chunk=4))
+        np.testing.assert_allclose(full, chunked, rtol=1e-5)
+
+    def test_to_csr_compacts_columns(self, rng):
+        u, dense, grid = make_case(rng, slots=4, k_bg=2)
+        n = grid.n_blocks
+        counts = rng.integers(0, 5, size=n)
+        # zero out unused slots in the panels (as the pipeline guarantees)
+        panels = np.asarray(u.panels).copy()
+        for b in range(n):
+            panels[b, :, counts[b] :] = 0.0
+        u = BlockSparseMatrix(
+            panels=jnp.asarray(panels),
+            rows=u.rows,
+            n_pixels=u.n_pixels,
+            dense_basis=u.dense_basis,
+        )
+        csr, col_map = u.to_csr(counts)
+        assert csr.shape == (u.n_pixels, int(counts.sum()) + 2)
+        assert len(col_map) == csr.shape[1]
+        # each compacted column equals the padded column it maps to
+        dense_padded = np.zeros(u.shape, dtype=np.float64)
+        for b in range(n):
+            for j in range(4):
+                dense_padded[np.asarray(u.rows)[b], b * 4 + j] += panels[b, :, j]
+        dense_padded[:, n * 4 :] = np.asarray(u.dense_basis)
+        np.testing.assert_allclose(
+            csr.toarray(), dense_padded[:, col_map], atol=1e-5
+        )

@@ -1,0 +1,164 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from localmd_tpu.engine import (
+    pack_components,
+    single_block_md_batched,
+    single_residual_block_md_batched,
+    temporal_projector_batched,
+    threshold_heuristic,
+    windowed_pmd_batched,
+)
+from localmd_tpu.ops.roughness import filter_by_failures_np
+from localmd_tpu.ops.tiling import flatten_fov
+
+
+def low_rank_blocks(rng, n=4, b1=16, b2=16, t=120, rank=3, noise=0.05):
+    """Batch of blocks, each an exact rank-`rank` movie + small noise."""
+    u = rng.standard_normal((n, b1 * b2, rank)).astype(np.float32)
+    # smooth the spatial factors so they pass the roughness test
+    u_img = u.reshape(n, b1, b2, rank)
+    for _ in range(6):
+        u_img = 0.2 * (
+            u_img
+            + np.roll(u_img, 1, 1) + np.roll(u_img, -1, 1)
+            + np.roll(u_img, 1, 2) + np.roll(u_img, -1, 2)
+        )
+    u = u_img.reshape(n, b1 * b2, rank)
+    v = rng.standard_normal((n, rank, t)).astype(np.float32)
+    # smooth temporal traces too
+    for _ in range(4):
+        v = 0.5 * v + 0.25 * (np.roll(v, 1, 2) + np.roll(v, -1, 2))
+    blocks = np.einsum("npr,nrt->npt", u, v) * 3.0
+    blocks += noise * rng.standard_normal(blocks.shape).astype(np.float32)
+    return blocks.reshape(n, b1, b2, t).astype(np.float32)
+
+
+class TestSingleBlockMD:
+    def test_reconstruction_of_low_rank_blocks(self, rng):
+        blocks = low_rank_blocks(rng, n=4, rank=3)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        u, dec, v = single_block_md_batched(
+            jnp.asarray(blocks), keys, 6, 4, 2, 1e9, 1e9
+        )
+        # u orthonormal per block
+        g = np.einsum("npr,nps->nrs", np.asarray(u), np.asarray(u))
+        for i in range(4):
+            np.testing.assert_allclose(g[i], np.eye(6), atol=1e-3)
+        # rank-6 basis captures the rank-3 signal: compare against the
+        # OPTIMAL rank-6 truncated SVD error (the noise floor)
+        flat = np.asarray(flatten_fov(jnp.asarray(blocks)))
+        recon = np.einsum("npr,nrt->npt", np.asarray(u), np.asarray(v))
+        rel = np.linalg.norm(recon - flat) / np.linalg.norm(flat)
+        s_all = np.linalg.svd(flat, compute_uv=False)
+        optimal = np.sqrt((s_all[:, 6:] ** 2).sum()) / np.linalg.norm(flat)
+        assert rel < 1.2 * optimal + 1e-3, (rel, optimal)
+
+    def test_decisions_keep_smooth_components(self, rng):
+        blocks = low_rank_blocks(rng, n=2, rank=2, noise=0.01)
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        # realistic thresholds from the noise null
+        s_thr, t_thr = threshold_heuristic((16, 16, 120), iters=40, key=jax.random.PRNGKey(2))
+        _, dec, _ = single_block_md_batched(
+            jnp.asarray(blocks), keys, 6, 4, 2, s_thr, t_thr
+        )
+        dec = np.asarray(dec)
+        # the two leading (signal) components of each block must be kept
+        assert dec[:, :2].all(), dec
+
+
+class TestResidualMD:
+    def test_residual_orthogonal_to_existing(self, rng):
+        blocks = low_rank_blocks(rng, n=3, rank=4)
+        keys = jax.random.split(jax.random.PRNGKey(3), 3)
+        u0, _, _ = single_block_md_batched(jnp.asarray(blocks), keys, 2, 4, 2, 1e9, 1e9)
+        # pad existing to 5 slots
+        existing = jnp.concatenate(
+            [u0, jnp.zeros((3, u0.shape[1], 3))], axis=2
+        )
+        u1, dec, v1 = single_residual_block_md_batched(
+            jnp.asarray(blocks), existing, keys, 2, 4, 1e9, 1e9
+        )
+        # new components orthogonal to existing basis
+        cross = np.einsum("npr,nps->nrs", np.asarray(existing), np.asarray(u1))
+        np.testing.assert_allclose(cross, 0.0, atol=1e-3)
+
+
+class TestPackComponents:
+    def test_packing_respects_filter_and_slots(self, rng):
+        n, p, r, slots = 3, 10, 5, 6
+        u_new = rng.standard_normal((n, p, r)).astype(np.float32)
+        decisions = np.array(
+            [[1, 1, 0, 1, 1], [0, 0, 1, 1, 1], [1, 1, 1, 1, 1]], dtype=np.int32
+        )
+        acc = jnp.zeros((n, p, slots))
+        counts = jnp.asarray([0, 2, 4], dtype=jnp.int32)
+        acc2, counts2 = pack_components(
+            jnp.asarray(u_new), jnp.asarray(decisions), acc, counts, 1
+        )
+        acc2, counts2 = np.asarray(acc2), np.asarray(counts2)
+        for i in range(n):
+            keep = filter_by_failures_np(decisions[i] > 0, 1)
+            kept_cols = u_new[i][:, keep]
+            start = int(np.asarray(counts)[i])
+            n_fit = min(kept_cols.shape[1], slots - start)
+            assert counts2[i] == start + n_fit
+            np.testing.assert_allclose(
+                acc2[i][:, start : start + n_fit], kept_cols[:, :n_fit], atol=1e-6
+            )
+            # untouched slots stay zero
+            np.testing.assert_allclose(acc2[i][:, start + n_fit :], 0.0, atol=1e-6)
+
+
+class TestWindowedPMD:
+    def test_single_window_equals_md_plus_pack(self, rng):
+        blocks = low_rank_blocks(rng, n=2, rank=2)
+        res = windowed_pmd_batched(
+            jnp.asarray(blocks), jax.random.PRNGKey(5), 120, 4, 1e9, 1e9, 1, 4, 2
+        )
+        assert res.spatial.shape == (2, 256, 4)
+        assert (np.asarray(res.counts) == 4).all()  # huge thresholds keep all
+        # temporal = spatial^T @ blocks
+        flat = np.asarray(flatten_fov(jnp.asarray(blocks)))
+        expected_v = np.einsum("nps,npt->nst", np.asarray(res.spatial), flat)
+        np.testing.assert_allclose(np.asarray(res.temporal), expected_v, atol=1e-2)
+
+    def test_multi_window_grows_basis(self, rng):
+        # two windows; block signal changes halfway so window 2 adds comps
+        b1 = b2 = 16
+        t = 160
+        u_a = rng.standard_normal((b1 * b2, 2)).astype(np.float32)
+        u_b = rng.standard_normal((b1 * b2, 2)).astype(np.float32)
+        v = rng.standard_normal((2, t // 2)).astype(np.float32)
+        first = (u_a @ v).reshape(b1, b2, t // 2)
+        second = (u_b @ v).reshape(b1, b2, t // 2)
+        block = np.concatenate([first, second], axis=2)[None]
+        # small noise keeps the residual full-rank (a rank-deficient residual
+        # gives exact-zero singular values whose Gram-eigh columns are ~zero
+        # rather than orthonormal junk — dropped downstream either way)
+        block = block + 0.05 * np.random.default_rng(0).standard_normal(block.shape)
+        block = block.astype(np.float32)
+        res = windowed_pmd_batched(
+            jnp.asarray(block), jax.random.PRNGKey(6), 80, 6, 1e9, 1e9, 1, 4, 2
+        )
+        assert int(np.asarray(res.counts)[0]) == 6
+        # basis columns orthonormal even across windows
+        u = np.asarray(res.spatial)[0]
+        np.testing.assert_allclose(u.T @ u, np.eye(6), atol=1e-3)
+
+
+class TestThresholdHeuristic:
+    def test_thresholds_reasonable(self):
+        s_thr, t_thr = threshold_heuristic(
+            (16, 16, 100), iters=64, key=jax.random.PRNGKey(0)
+        )
+        # roughness stats of pure noise concentrate near these values;
+        # thresholds (5th pctile) must be positive and O(1)
+        assert 0.5 < s_thr < 2.0, s_thr
+        assert 1.0 < t_thr < 3.0, t_thr
+
+    def test_deterministic_given_key(self):
+        a = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
+        b = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
+        assert a == b

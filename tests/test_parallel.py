@@ -1,0 +1,91 @@
+"""Sharded phases must match the single-device paths on an 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from localmd_tpu.blocksparse import BlockSparseMatrix
+from localmd_tpu.engine import single_block_md_batched
+from localmd_tpu.ops.tiling import BlockGrid, extract_patches, flatten_fov, flatten_image
+from localmd_tpu.parallel.mesh import make_mesh
+from localmd_tpu.parallel.sharded import (
+    sharded_block_decomposition,
+    sharded_gram_quadratic,
+    sharded_v_projection_chunk,
+)
+
+
+def _make_blocksparse(rng, grid, slots=4):
+    n, p = grid.n_blocks, grid.pixels_per_block
+    panels = rng.standard_normal((n, p, slots)).astype(np.float32)
+    return BlockSparseMatrix(
+        panels=jnp.asarray(panels),
+        rows=jnp.asarray(grid.rows),
+        n_pixels=grid.d1 * grid.d2,
+        dense_basis=jnp.asarray(rng.standard_normal((grid.d1 * grid.d2, 2)).astype(np.float32)),
+    )
+
+
+class TestShardedPhases:
+    def test_block_decomposition_matches_single_device(self, rng):
+        mesh = make_mesh()
+        n_dev = len(mesh.devices)
+        n_blocks = 2 * n_dev
+        blocks = rng.standard_normal((n_blocks, 12, 12, 80)).astype(np.float32)
+        keys = jax.random.split(jax.random.PRNGKey(0), n_blocks)
+
+        local_fn = functools.partial(
+            single_block_md_batched,
+            max_rank=3,
+            temporal_avg_factor=4,
+            spatial_avg_factor=2,
+            spatial_threshold=1e9,
+            temporal_threshold=1e9,
+        )
+        u_s, dec_s, v_s = sharded_block_decomposition(
+            mesh, lambda b, k: local_fn(b, k), jnp.asarray(blocks), keys
+        )
+        u_1, dec_1, v_1 = local_fn(jnp.asarray(blocks), keys)
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_1), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(dec_s), np.asarray(dec_1))
+
+    def test_v_projection_matches_blocksparse(self, rng):
+        mesh = make_mesh()
+        grid = BlockGrid(24, 16, (12, 8))
+        u = _make_blocksparse(rng, grid)
+        r_cols = u.shape[1]
+        p_mat = rng.standard_normal((r_cols, 5)).astype(np.float32)
+        t_c = 16  # divisible by 8 devices
+        chunk = rng.standard_normal((24, 16, t_c)).astype(np.float32)
+        mean = rng.standard_normal((24, 16)).astype(np.float32)
+        std = (0.5 + rng.random((24, 16))).astype(np.float32)
+
+        chunk_flat = flatten_fov(jnp.asarray(chunk))
+        mean_flat = flatten_image(jnp.asarray(mean))
+        std_flat = flatten_image(jnp.asarray(std))
+
+        out = sharded_v_projection_chunk(
+            mesh, u.panels, u.rows, u.dense_basis, jnp.asarray(p_mat),
+            chunk_flat, mean_flat, std_flat,
+        )
+        # single-device oracle
+        x = (np.asarray(chunk_flat) - np.asarray(mean_flat)[:, None]) / np.asarray(
+            std_flat
+        )[:, None]
+        expected = p_mat.T @ np.asarray(u.rmatmul(jnp.asarray(x)))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-3)
+
+    def test_gram_quadratic_matches_blocksparse(self, rng):
+        mesh = make_mesh()
+        grid = BlockGrid(20, 20, (8, 8))
+        assert grid.n_blocks % len(mesh.devices) == 0, grid.n_blocks
+        u = _make_blocksparse(rng, grid)
+        right = rng.standard_normal((u.shape[1], 6)).astype(np.float32)
+
+        out = sharded_gram_quadratic(
+            mesh, u.panels, u.rows, u.dense_basis, jnp.asarray(right), u.n_pixels
+        )
+        expected = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2)

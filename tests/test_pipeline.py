@@ -1,0 +1,191 @@
+"""End-to-end pipeline tests (reference test strategy, test/test_pmd.py, plus
+the numerical-correctness oracles the reference lacks — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse
+
+from localmd_tpu import (
+    PMDArray,
+    load_decomposition,
+    localmd_decomposition,
+    save_decomposition,
+)
+from localmd_tpu.factorization import compute_lowrank_factorized_svd
+
+from conftest import make_low_rank_movie
+
+
+class TestDecompositionEndToEnd:
+    @pytest.mark.parametrize("block_size", [(16, 16), (20, 24)])
+    def test_exact_low_rank_movie_reconstructs(self, rng, block_size):
+        movie = make_low_rank_movie(5, (400, 40, 40), rng)
+        pmd = localmd_decomposition(
+            movie, block_size, frame_range=400, max_components=8,
+            background_rank=3, temporal_avg_factor=4, sim_iters=60, seed=0,
+        )
+        recon = pmd[:, :, :]
+        rel = np.linalg.norm(recon - movie) / np.linalg.norm(movie)
+        assert rel < 1e-2, rel
+
+    def test_block_size_below_minimum_raises(self, rng):
+        movie = make_low_rank_movie(3, (300, 40, 40), rng)
+        with pytest.raises(ValueError):
+            localmd_decomposition(movie, (4, 4), frame_range=300, sim_iters=10)
+
+    def test_tiny_fov_raises(self, rng):
+        movie = make_low_rank_movie(2, (300, 8, 40), rng)
+        with pytest.raises(ValueError):
+            localmd_decomposition(movie, (16, 16), frame_range=300, sim_iters=10)
+
+    def test_oversized_blocks_truncated_to_fov(self, rng):
+        movie = make_low_rank_movie(3, (300, 30, 30), rng)
+        pmd = localmd_decomposition(
+            movie, (64, 64), frame_range=300, max_components=6,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        recon = pmd[:, :, :]
+        rel = np.linalg.norm(recon - movie) / np.linalg.norm(movie)
+        assert rel < 1e-2, rel
+
+    def test_more_frames_requested_than_exist(self, rng):
+        # exercises the reference's warning path (decomposition.py:681-688)
+        movie = make_low_rank_movie(3, (250, 24, 24), rng)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=5000, max_components=6,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        assert pmd.shape == (250, 24, 24)
+
+    def test_window_chunks_path(self, rng):
+        movie = make_low_rank_movie(4, (400, 24, 24), rng, noise=0.01)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=400, window_chunks=100,
+            max_components=8, background_rank=2, temporal_avg_factor=4,
+            sim_iters=30, seed=0,
+        )
+        recon = pmd[:, :, :]
+        rel = np.linalg.norm(recon - movie) / np.linalg.norm(movie)
+        assert rel < 0.05, rel
+
+    def test_no_background_rank(self, rng):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=300, max_components=6,
+            background_rank=0, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 1e-2, rel
+
+    def test_rank_prune(self, rng):
+        movie = make_low_rank_movie(4, (400, 24, 24), rng)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=400, max_components=8, rank_prune=True,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 0.02, rel
+
+    def test_pixel_weighting_and_denoisers(self, rng):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        w = np.ones((24, 24), dtype=np.float32)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=300, max_components=6,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+            pixel_weighting=w,
+            spatial_denoiser=lambda x: x,
+            temporal_denoiser=lambda x: x,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 1e-2, rel
+
+
+class TestPMDArraySemantics:
+    @pytest.fixture(scope="class")
+    def pmd(self):
+        rng = np.random.default_rng(3)
+        movie = make_low_rank_movie(4, (300, 30, 26), rng)
+        out = localmd_decomposition(
+            movie, (14, 12), frame_range=300, max_components=8,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        return out, movie
+
+    def test_shapes_and_props(self, pmd):
+        arr, movie = pmd
+        assert arr.shape == movie.shape
+        assert arr.ndim == 3
+        assert arr.dtype == np.float32
+        # UR orthonormal columns (the library prunes sub-noise-floor
+        # directions via final_rank_tol, so all retained must be clean)
+        ur = arr.u.toarray() @ arr.r
+        np.testing.assert_allclose(ur.T @ ur, np.eye(ur.shape[1]), atol=1e-3)
+        # V orthonormal rows
+        np.testing.assert_allclose(
+            arr.v @ arr.v.T, np.eye(arr.v.shape[0]), atol=1e-3
+        )
+
+    def test_single_frame(self, pmd):
+        arr, movie = pmd
+        f = arr[17]
+        assert f.shape == (30, 26)
+        np.testing.assert_allclose(f, movie[17], atol=0.5, rtol=0.1)
+
+    def test_frame_and_spatial_crop(self, pmd):
+        arr, movie = pmd
+        sub = arr[10:20, 5:15, 3:9]
+        assert sub.shape == (10, 10, 6)
+        full = arr[:, :, :]
+        np.testing.assert_allclose(sub, full[10:20, 5:15, 3:9], atol=1e-4)
+
+    def test_two_element_key(self, pmd):
+        # the reference's len(key)==2 path raises TypeError (latent bug,
+        # reference pmdarray.py:146-148); ours must work
+        arr, _ = pmd
+        sub = arr[5:10, 0:8]
+        assert sub.shape == (5, 8, 26)
+
+    def test_device_reconstruct_matches_host(self, pmd):
+        arr, _ = pmd
+        dev = np.asarray(arr.reconstruct_frames([3, 9]))
+        host = np.stack([arr[3], arr[9]])
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+
+    def test_npz_roundtrip(self, pmd, tmp_path):
+        arr, _ = pmd
+        path = str(tmp_path / "d.npz")
+        save_decomposition(path, arr)
+        loaded = load_decomposition(path)
+        np.testing.assert_allclose(loaded[7], arr[7], atol=1e-5)
+        data = np.load(path, allow_pickle=True)
+        expected_keys = {
+            "fov_shape", "fov_order", "U_data", "U_indices", "U_indptr",
+            "U_shape", "U_format", "R", "s", "Vt", "mean_img", "noise_var_img",
+        }
+        assert expected_keys <= set(data.keys())
+
+
+class TestFactorizedSVD:
+    def test_scipy_sparse_input_matches_dense_svd(self, rng):
+        # public API accepts reference-style scipy matrices
+        d, r, t = 200, 12, 90
+        u = scipy.sparse.random(d, r, density=0.3, random_state=1, dtype=np.float64)
+        v = rng.standard_normal((r, t)).astype(np.float32)
+        p, s, vt = compute_lowrank_factorized_svd(u, jnp.asarray(v))
+        product = u.toarray() @ v
+        s_np = np.linalg.svd(product, compute_uv=False)
+        np.testing.assert_allclose(
+            np.asarray(s)[: len(s_np)], s_np[: len(np.asarray(s))], rtol=2e-2, atol=1e-2
+        )
+        recon = (u.toarray() @ np.asarray(p)) * np.asarray(s)[None, :] @ np.asarray(vt)
+        np.testing.assert_allclose(recon, product, atol=1e-2)
+
+    def test_only_left_gives_orthonormal_up(self, rng):
+        d, r, t = 150, 10, 80
+        u = scipy.sparse.random(d, r, density=0.4, random_state=2)
+        v = rng.standard_normal((r, t)).astype(np.float32)
+        p = compute_lowrank_factorized_svd(u, jnp.asarray(v), only_left=True)
+        up = u.toarray() @ np.asarray(p)
+        np.testing.assert_allclose(up.T @ up, np.eye(up.shape[1]), atol=1e-3)
