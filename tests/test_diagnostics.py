@@ -1,0 +1,134 @@
+import os
+
+import numpy as np
+import pytest
+
+from localmd_tpu.diagnostics import (
+    construct_index,
+    make_autocorrelation_image,
+    make_correlation_image,
+    make_pmd_correlation_image,
+    make_pmd_corr_diagnostic_plot,
+    make_residual_correlation_image,
+    plot_pmd_components,
+)
+
+
+def _corr(t1, t2):
+    t1 = t1 - t1.mean()
+    t2 = t2 - t2.mean()
+    return float((t1 / np.linalg.norm(t1)) @ (t2 / np.linalg.norm(t2)))
+
+
+def _oracle_corr_image(movie, mode):
+    """Direct port of the reference's per-pixel loop semantics
+    (reference diagnostic_plots.py:227-272)."""
+    T, d1, d2 = movie.shape
+    counts = np.zeros((d1, d2))
+    net = np.zeros((d1, d2))
+    for k in range(d1):
+        for j in range(d2):
+            for c1 in range(k - 1, k + 2):
+                for c2 in range(j - 1, j + 2):
+                    if 0 <= c1 < d1 and 0 <= c2 < d2 and not (c1 == k and c2 == j):
+                        c = _corr(movie[:, k, j], movie[:, c1, c2])
+                        if mode == "mean":
+                            net[k, j] += c
+                        else:
+                            net[k, j] = max(c, net[k, j])
+                        counts[k, j] += 1
+    if mode == "mean":
+        net /= counts
+    return net
+
+
+def _oracle_scaled_cov(target, raw, mode):
+    T, d1, d2 = target.shape
+    counts = np.zeros((d1, d2))
+    net = np.zeros((d1, d2))
+    for k in range(d1):
+        for j in range(d2):
+            for c1 in range(k - 1, k + 2):
+                for c2 in range(j - 1, j + 2):
+                    if 0 <= c1 < d1 and 0 <= c2 < d2 and not (c1 == k and c2 == j):
+                        cov = np.cov(target[:, k, j], target[:, c1, c2])[0, 1]
+                        scale = np.sqrt(
+                            raw[:, k, j].var() * raw[:, c1, c2].var()
+                        )
+                        val = cov / scale
+                        if mode == "mean":
+                            net[k, j] += val
+                        else:
+                            net[k, j] = max(val, net[k, j])
+                        counts[k, j] += 1
+    if mode == "mean":
+        net /= counts
+    return net
+
+
+class TestCorrelationImages:
+    @pytest.mark.parametrize("mode", ["max", "mean"])
+    def test_correlation_image_matches_oracle(self, rng, mode):
+        movie = rng.standard_normal((60, 7, 6)).astype(np.float32)
+        ours = make_correlation_image(movie, mode)
+        oracle = _oracle_corr_image(movie, mode)
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+    @pytest.mark.parametrize("mode", ["max", "mean"])
+    def test_pmd_cov_image_matches_oracle(self, rng, mode):
+        raw = rng.standard_normal((50, 6, 5)).astype(np.float32)
+        pmd = raw + 0.1 * rng.standard_normal((50, 6, 5)).astype(np.float32)
+        ours = make_pmd_correlation_image(raw, pmd, mode)
+        oracle = _oracle_scaled_cov(pmd, raw, mode)
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+    def test_residual_cov_image(self, rng):
+        raw = rng.standard_normal((50, 6, 5)).astype(np.float32)
+        pmd = raw * 0.9
+        ours = make_residual_correlation_image(raw, pmd, "mean")
+        oracle = _oracle_scaled_cov(raw - pmd, raw, "mean")
+        np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+    def test_autocorrelation_image(self, rng):
+        movie = rng.standard_normal((80, 5, 4)).astype(np.float32)
+        ours = make_autocorrelation_image(movie, lag=1)
+        expected = np.zeros((5, 4))
+        for k in range(5):
+            for j in range(4):
+                expected[k, j] = _corr(movie[1:, k, j], movie[:-1, k, j])
+        np.testing.assert_allclose(ours, expected, atol=1e-4)
+
+    def test_smooth_signal_has_high_correlation(self, rng):
+        # a shared smooth trace across all pixels -> corr image ~1
+        trace = np.cumsum(rng.standard_normal(200)).astype(np.float32)
+        movie = np.tile(trace[:, None, None], (1, 6, 6))
+        movie += 0.01 * rng.standard_normal(movie.shape).astype(np.float32)
+        img = make_correlation_image(movie, "mean")
+        assert img.min() > 0.95
+
+
+class TestReports:
+    def test_component_browser(self, tmp_path, rng):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_low_rank_movie
+        from localmd_tpu import localmd_decomposition
+
+        movie = make_low_rank_movie(2, (280, 16, 16), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=20, seed=0,
+        )
+        folder = str(tmp_path)
+        plot_pmd_components(pmd, folder)
+        files = os.listdir(folder)
+        assert any(f.startswith("Component_") for f in files)
+        idx = construct_index(folder)
+        assert os.path.exists(idx)
+        content = open(idx).read()
+        assert "Component_0.html" in content
+
+    def test_diagnostic_panel_figure(self, rng):
+        img = rng.random((8, 8)).astype(np.float32)
+        fig = make_pmd_corr_diagnostic_plot(img, img, img, img)
+        assert fig is not None
