@@ -217,9 +217,30 @@ class TiffReader:
 
     def read_frames(self, indices: Sequence[int]) -> np.ndarray:
         out = np.empty((len(indices),) + self.frame_shape, dtype=self.dtype)
+        if self._try_native_read(indices, out):
+            return out
         for i, idx in enumerate(indices):
             out[i] = self.read_frame(idx)
         return out
+
+    def _try_native_read(self, indices: Sequence[int], out: np.ndarray) -> bool:
+        """Threaded scatter read of single-strip pages via the fastio C++
+        library; returns False to fall back to the mmap path."""
+        if any(len(self.pages[i].strip_offsets) != 1 for i in indices):
+            return False
+        try:
+            from localmd_tpu.io.native import native_available, FastReader
+
+            if not native_available():
+                return False
+            if not hasattr(self, "_fast_reader"):
+                self._fast_reader = FastReader(self.filename)
+            offsets = [self.pages[i].strip_offsets[0] for i in indices]
+            sizes = [self.pages[i].strip_byte_counts[0] for i in indices]
+            self._fast_reader.read_scatter(offsets, sizes, out)
+            return True
+        except Exception:
+            return False
 
     def close(self):
         if isinstance(self._buf, mmap.mmap):
