@@ -121,9 +121,10 @@ def final_svd_reformat(
     Pass rel_tol=0 for strict reference parity.
     """
     r, s, vt = projected_svd(jnp.asarray(p), jnp.asarray(v))
-    r = np.asarray(r)
-    s = np.asarray(s)
-    vt = np.asarray(vt)
-    cutoff = rel_tol * s[0] if (len(s) and rel_tol > 0) else 0.0
-    good = s > cutoff if cutoff > 0 else s != 0
-    return r[:, good], s[good], vt[good, :]
+    s_host = np.asarray(s)  # (K2,) — small pull
+    cutoff = rel_tol * s_host[0] if (len(s_host) and rel_tol > 0) else 0.0
+    good = s_host > cutoff if cutoff > 0 else s_host != 0
+    idx = jnp.asarray(np.nonzero(good)[0])
+    # r and vt stay on device (D2H is slow on tunneled TPUs; PMDArray pulls
+    # them lazily only when host slicing / serialization is requested).
+    return jnp.take(r, idx, axis=1), s_host[good], jnp.take(vt, idx, axis=0)

@@ -7,17 +7,21 @@ TPU-native counterpart of the reference ``PMDLoader``
   host loop over 1024-frame chunks x sqrt(pixel_batch_size)^2 spatial tiles,
   dispatching one small jit per tile (reference pmd_loader.py:245-289). Here
   each 1024-frame chunk is ONE fused device program over the full FOV (the
-  batched Welch kernel in :mod:`localmd_tpu.ops.noise`), optionally row-tiled
-  only if the chunk exceeds a VMEM-friendly byte budget.
+  batched DFT-matmul Welch kernel in :mod:`localmd_tpu.ops.noise`).
+- Transfers are latency/bandwidth-aware for a tunneled TPU: chunks move
+  host->device CONTIGUOUS in the dataset's NATIVE dtype (half the bytes for
+  uint16 two-photon data); transpose + f32 cast happen on device.
 - IO prefetch: frame chunks are read on a background thread while the device
   crunches the previous chunk (replacing the torch DataLoader worker
   machinery, reference pmd_loader.py:151-168 — torch is not a dependency
   here).
-- The streaming temporal regression ``v_projection`` takes the blocked-sparse
-  ``U`` and computes ``P^T (U^T X_std)`` per chunk as gather + batched panel
-  matmuls on the MXU (reference uses BCOO sparse-dense products,
-  pmd_loader.py:316-346). It is embarrassingly parallel over frames — the
-  sharded variant lives in :mod:`localmd_tpu.parallel`.
+- The streaming temporal regression ``v_projection`` folds the mixing matrix
+  AND the per-pixel standardization into a single dense projector:
+  V = P^T U^T ((X - mean)/std) = A~^T X - c with A~ = (U P)/std and
+  c = A~^T mean. Each chunk is then ONE matmul on the MXU — no sparse
+  product (reference pmd_loader.py:316-346), no gather, no elementwise pass
+  over the movie, and the result stays on device (device->host pulls are
+  pathologically slow on tunneled TPUs).
 
 Statistics semantics match the reference exactly: mean accumulated over all
 chunks; noise sigma averaged over chunks with >= 256 frames; zero sigmas
@@ -44,6 +48,8 @@ from localmd_tpu.utils import display, make_key
 
 MIN_NOISE_FRAMES = 256  # reference pmd_loader.py:203 min_allowed_frames
 STATS_CHUNK_FRAMES = 1024  # reference pmd_loader.py:171 frame_constant
+# Cap on the f32 bytes a single streamed device chunk may occupy.
+STREAM_CHUNK_BYTES = 2 << 30
 
 
 def _mm(a, b):
@@ -66,11 +72,14 @@ def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
     """Background-thread prefetching iterator over ``load_fn(item)``."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    err_box = []
 
     def worker():
         try:
             for item in make_items:
                 q.put(load_fn(item))
+        except BaseException as e:  # surface IO errors in the consumer
+            err_box.append(e)
         finally:
             q.put(sentinel)
 
@@ -81,6 +90,14 @@ def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
         if got is sentinel:
             break
         yield got
+    if err_box:
+        raise err_box[0]
+
+
+@jax.jit
+def _to_fov_f32(raw: Array) -> Array:
+    """(T, d1, d2) native-dtype device chunk -> (d1, d2, T) float32."""
+    return jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
 
 
 @jax.jit
@@ -102,9 +119,14 @@ def standardize_and_filter(
 
 
 @jax.jit
-def _standardize_flat(data: Array, mean_flat: Array, std_flat: Array) -> Array:
-    """(d, t) raw -> standardized, with F-order-flattened mean/std images."""
-    return (data - mean_flat[:, None]) / std_flat[:, None]
+def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array) -> Array:
+    """One streamed chunk of the folded temporal regression.
+
+    raw: (t, d1, d2) native dtype. Returns (r', t) on device.
+    """
+    x = jnp.moveaxis(raw, 0, -1).astype(jnp.float32)      # (d1, d2, t)
+    flat = flatten_fov(x)                                  # (d, t) F-order
+    return _mm(a_tilde.T, flat) - c[:, None]
 
 
 class PMDLoader:
@@ -152,12 +174,25 @@ class PMDLoader:
         pmd_loader.py:179-188)."""
         return self.dataset[frames].astype(self.dtype).transpose(1, 2, 0)
 
-    def _iter_chunks(self, prefetch: bool = True):
-        ranges = _chunk_ranges(self.shape[0], self.batch_size)
+    def _load_raw(self, frames) -> np.ndarray:
+        """(T, d1, d2) contiguous host chunk in the dataset's NATIVE dtype
+        (cast + transpose happen on device)."""
+        arr = self.dataset[frames]
+        arr = np.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[None]
+        return np.ascontiguousarray(arr)
+
+    def _stream_chunk_frames(self) -> int:
+        per_frame = self.n_pixels * 4
+        return max(64, min(self.batch_size, STREAM_CHUNK_BYTES // per_frame))
+
+    def _iter_raw_chunks(self, chunk_frames: Optional[int] = None, prefetch: bool = True):
+        chunk_frames = chunk_frames or self._stream_chunk_frames()
+        ranges = _chunk_ranges(self.shape[0], chunk_frames)
 
         def load(rng):
-            s, e = rng
-            return self.temporal_crop(list(range(s, e)))
+            return self._load_raw(slice(rng[0], rng[1]))
 
         if prefetch:
             return _prefetch_iter(ranges, load)
@@ -174,14 +209,8 @@ class PMDLoader:
         noise_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_chunks = 0
 
-        ranges = _chunk_ranges(t_total, self.frame_constant)
-
-        def load(rng):
-            s, e = rng
-            return self.temporal_crop(list(range(s, e)))
-
-        for data in _prefetch_iter(ranges, load):
-            chunk = jnp.asarray(data)
+        for raw in self._iter_raw_chunks(self.frame_constant):
+            chunk = _to_fov_f32(jnp.asarray(raw))
             if normalizer_flag and chunk.shape[2] >= MIN_NOISE_FRAMES:
                 m, sig = get_mean_and_noise(chunk, t_total)
                 noise_acc = noise_acc + sig
@@ -204,22 +233,22 @@ class PMDLoader:
     def _initialize_background(self, n_samples: int = 1000):
         """Rank-``background_rank`` randomized SVD of <= 1000 random
         standardized frames (reference pmd_loader.py:300-314). The basis is
-        F-order-flattened: shape (d1*d2, K)."""
+        F-order-flattened: shape (d1*d2, K), kept on device."""
         if self.background_rank <= 0:
-            self.spatial_basis = np.zeros((self.n_pixels, 1), dtype=np.float32)
+            self.spatial_basis = jnp.zeros((self.n_pixels, 1), dtype=jnp.float32)
             return
         display("Computing low-rank background basis")
         t_total = self.shape[0]
         n = min(n_samples, t_total)
         frames = np.sort(np.random.choice(t_total, size=n, replace=False)).tolist()
-        crop = jnp.asarray(self.temporal_crop(frames))
+        crop = _to_fov_f32(jnp.asarray(self._load_raw(frames)))
         crop = (crop - jnp.asarray(self.mean_img)[:, :, None]) / jnp.asarray(
             self.std_img
         )[:, :, None]
         flat = flatten_fov(crop)
         self._key, sub = jax.random.split(self._key)
         u, _, _ = truncated_random_svd(flat, sub, self.background_rank)
-        self.spatial_basis = np.asarray(u, dtype=np.float32)
+        self.spatial_basis = u
 
     # -- standardized views -----------------------------------------------------
 
@@ -232,19 +261,23 @@ class PMDLoader:
         """Standardize + background-filter the init frames.
 
         Returns DEVICE arrays: filtered data (d1, d2, T) and background
-        temporal basis (K, T). Processed in ``batch_size`` temporal chunks
+        temporal basis (K, T). Processed in bounded temporal chunks
         (reference pmd_loader.py:348-371) to bound transfer sizes.
         """
-        d1, d2 = self.shape[1], self.shape[2]
-        t = len(frames)
         mean_d = jnp.asarray(self.mean_img)
         std_d = jnp.asarray(self.std_img)
         basis_d = jnp.asarray(self.spatial_basis)
+        t = len(frames)
+        chunk_frames = self._stream_chunk_frames()
 
         out_chunks, tb_chunks = [], []
-        for s in range(0, t, self.batch_size):
-            sub = frames[s : s + self.batch_size]
-            chunk = jnp.asarray(self.temporal_crop(sub))
+        spans = list(range(0, t, chunk_frames))
+
+        def load(s):
+            return self._load_raw(frames[s : s + chunk_frames])
+
+        for raw in _prefetch_iter(spans, load):
+            chunk = _to_fov_f32(jnp.asarray(raw))
             filt, tb = standardize_and_filter(chunk, mean_d, std_d, basis_d)
             out_chunks.append(filt)
             tb_chunks.append(tb)
@@ -255,7 +288,7 @@ class PMDLoader:
 
     # -- streaming temporal regression ------------------------------------------
 
-    def v_projection(self, u, p: Array) -> np.ndarray:
+    def v_projection(self, u, p: Array) -> Array:
         """V = P^T U^T standardize(movie): second full streaming pass.
 
         Args:
@@ -263,16 +296,16 @@ class PMDLoader:
             p: (R, r') mixing matrix — U @ P has orthonormal columns.
 
         Returns:
-            (r', T) numpy array.
+            (r', T) DEVICE array (pull to host lazily; tunneled D2H is slow).
         """
-        mean_flat = jnp.asarray(flatten_image(jnp.asarray(self.mean_img)))
-        std_flat = jnp.asarray(flatten_image(jnp.asarray(self.std_img)))
         p_dev = jnp.asarray(p)
+        a = u.matmul(p_dev)                                   # (d, r') dense
+        std_flat = flatten_image(jnp.asarray(self.std_img))
+        mean_flat = flatten_image(jnp.asarray(self.mean_img))
+        a_tilde = a / std_flat[:, None]
+        c = _mm(a_tilde.T, mean_flat[:, None])[:, 0]          # (r',)
 
         results = []
-        for data in self._iter_chunks():
-            chunk = flatten_fov(jnp.asarray(data))       # (d, t_c) F-order
-            chunk = _standardize_flat(chunk, mean_flat, std_flat)
-            utx = u.rmatmul(chunk)                        # (R, t_c)
-            results.append(np.asarray(_mm(p_dev.T, utx)))
-        return np.concatenate(results, axis=1)
+        for raw in self._iter_raw_chunks():
+            results.append(_v_projection_kernel(a_tilde, c, jnp.asarray(raw)))
+        return jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]

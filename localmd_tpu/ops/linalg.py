@@ -32,6 +32,35 @@ def _mm(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
+def cholesky_qr2(y: Array) -> Array:
+    """Orthonormalize the columns of ``y`` (..., d, k) via two rounds of
+    CholeskyQR. Returns Q with the same column space as y.
+
+    On TPU, LAPACK-style QR (``jnp.linalg.qr``) is slow for tall-skinny and
+    batched inputs; CholeskyQR2 is two Gram matmuls + two small triangular
+    solves on the MXU, and its two passes recover the orthogonality that a
+    single CholeskyQR loses for ill-conditioned inputs (error ~ eps *
+    cond(y)^2 -> eps after the second pass, fine for randomized sketches).
+    A tiny ridge guards rank-deficient sketches (zero/duplicate columns).
+    """
+
+    def _one_pass(a):
+        gram = _mm(jnp.swapaxes(a, -1, -2), a)
+        k = gram.shape[-1]
+        # trace >= lambda_max, so trace * 1e-6 safely dominates the f32 Gram
+        # noise floor (~eps * lambda_max) that can push eigenvalues negative.
+        trace = jnp.sum(jnp.diagonal(gram, axis1=-2, axis2=-1), axis=-1)
+        ridge = (trace * 1e-6 + 1e-30)[..., None, None] * jnp.eye(k, dtype=a.dtype)
+        chol = jnp.linalg.cholesky(gram + ridge)
+        # q = a @ inv(chol).T  == solve chol^T x^T = a^T
+        q = jax.lax.linalg.triangular_solve(
+            chol, a, left_side=False, lower=True, transpose_a=True
+        )
+        return q
+
+    return _one_pass(_one_pass(y))
+
+
 def eigh_descending(sym: Array) -> Tuple[Array, Array]:
     """Eigendecomposition of a symmetric PSD matrix, eigenvalues descending.
 
@@ -108,7 +137,7 @@ def truncated_random_svd(
     batch_shape = matrix.shape[:-2]
     sketch = jax.random.normal(key, batch_shape + (t, k), dtype=matrix.dtype)
     projected = _mm(matrix, sketch)                      # (..., d, k)
-    q, _ = jnp.linalg.qr(projected)                      # (..., d, k)
+    q = cholesky_qr2(projected)                          # (..., d, k)
     b = _mm(jnp.swapaxes(q, -1, -2), matrix)             # (..., k, t)
     u_b, s, vt = svd_gram_left(b)                        # k x k gram
     u = _mm(q, u_b)

@@ -38,13 +38,33 @@ def _hann_periodic(n: int, dtype) -> Array:
     return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / n)
 
 
+def _band_dft_matrices(dtype):
+    """Windowed real-DFT matrices for bins [_BAND_START, _BAND_END) only.
+
+    TPU has no native FFT (XLA emulates it slowly for big batches of short
+    transforms); we only need 64 of 129 rfft bins, so evaluate them as two
+    (nperseg, n_bins) matmuls on the MXU instead. The Hann window is folded
+    into the matrices; constant detrend folds in as a rank-1 correction
+    (F @ (w*(x - m)) = F_w @ x - m * (F_w @ 1)).
+    """
+    n = jnp.arange(NPERSEG, dtype=dtype)[:, None]
+    k = jnp.arange(_BAND_START, _BAND_END, dtype=dtype)[None, :]
+    ang = (-2.0 * jnp.pi / NPERSEG) * n * k
+    win = _hann_periodic(NPERSEG, dtype)[:, None]
+    cos_m = jnp.cos(ang) * win                       # (nperseg, n_bins)
+    sin_m = jnp.sin(ang) * win
+    return cos_m, sin_m, cos_m.sum(axis=0), sin_m.sum(axis=0)
+
+
 @jax.jit
 def welch_noise_estimate(traces: Array) -> Array:
     """Per-trace noise sigma for ``traces`` of shape (..., T), T >= 256.
 
     Returns shape (...,): sqrt(mean of one-sided Welch PSD x 0.5 over the
     upper half-band), matching reference ``get_noise_estimate``
-    (reference preprocessing_utils.py:28-37) per trace.
+    (reference preprocessing_utils.py:28-37) per trace. Implemented as a
+    windowed partial DFT by matmul (see _band_dft_matrices) rather than
+    rfft — identical arithmetic restricted to the needed bins.
     """
     t = traces.shape[-1]
     if t < NPERSEG:
@@ -57,19 +77,20 @@ def welch_noise_estimate(traces: Array) -> Array:
     seg_idx = starts[:, None] + jnp.arange(NPERSEG)[None, :]     # (S, nperseg)
     segs = traces[..., seg_idx]                                   # (..., S, nperseg)
 
-    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)          # detrend='constant'
-    win = _hann_periodic(NPERSEG, dtype)
-    spec = jnp.fft.rfft(segs * win, axis=-1)                      # (..., S, nperseg//2+1)
+    cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(dtype)
+    m = jnp.mean(segs, axis=-1, keepdims=True)                    # detrend='constant'
+    re = jnp.matmul(segs, cos_m, preferred_element_type=jnp.float32) - m * cos_1
+    im = jnp.matmul(segs, sin_m, preferred_element_type=jnp.float32) - m * sin_1
 
     # density scaling: 1 / (fs * sum(win^2)); one-sided doubling then the
     # reference's x0.5 cancel for interior bins, so apply neither and keep
     # the Nyquist bin un-halved exactly as the reference arithmetic does:
     # psd_onesided[k] = 2*|X|^2*scale for 0<k<nyq; ref multiplies by 0.5.
     # psd_onesided[nyq] = |X|^2*scale; ref multiplies by 0.5.
+    win = _hann_periodic(NPERSEG, dtype)
     scale = 1.0 / jnp.sum(win * win)
-    p = (spec.real**2 + spec.imag**2) * scale
-    psd = jnp.mean(p, axis=-2)                                    # average over segments
-    band = psd[..., _BAND_START:_BAND_END]
+    p = (re * re + im * im) * scale                               # (..., S, n_bins)
+    band = jnp.mean(p, axis=-2)                                   # average over segments
     # Halve only the Nyquist bin (reference applies 0.5 to doubled one-sided
     # values; our p is the two-sided value = onesided*0.5 already, except at
     # Nyquist where onesided == p, so ref's 0.5*onesided = 0.5*p there).

@@ -265,7 +265,7 @@ def localmd_decomposition(
 
     # -- final reformat ---------------------------------------------------------
     display("Final SVD reformat")
-    r, s_vals, vt = final_svd_reformat(np.asarray(p), v, rel_tol=final_rank_tol)
+    r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
     display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
 
     return PMDArray(

@@ -7,14 +7,18 @@ transpose, ``.squeeze()``, float32 output. The reference's latent
 ``len(key)==2`` bug — calling ``spatial_crop`` with two positional args
 (reference pmdarray.py:146-148) — is fixed here.
 
-Additions over the reference:
+TPU-native additions:
 
-- An optional on-device fast path: when constructed by the TPU pipeline the
-  array keeps the blocked-sparse panels, and ``reconstruct_frames`` produces
-  full-FOV frames as one jitted scatter-add + matmul program (the reference
-  reconstructs on host CPU via scipy CSR, pmdarray.py:159).
-- ``to_npz`` / ``from_npz`` round-trip through the reference .npz convention
-  (see :mod:`localmd_tpu.serialization`).
+- Factors may live ON DEVICE (as produced by the pipeline). All host-side
+  materialization — scipy CSR export, the compacted mixing matrix, the
+  precomputed (R s) V product the reference builds eagerly in its ctor
+  (reference pmdarray.py:50-52) — is LAZY: tunneled TPU device->host pulls
+  are slow, and a user who only reconstructs frames on device never pays
+  them.
+- ``reconstruct_frames`` produces full-FOV frames as one jitted
+  scatter-add + matmul program (the reference reconstructs on host CPU via
+  scipy CSR, pmdarray.py:159).
+- ``to_npz`` / ``from_npz`` round-trip the reference .npz convention.
 """
 
 from __future__ import annotations
@@ -27,16 +31,16 @@ import numpy as np
 import scipy.sparse
 
 from localmd_tpu.blocksparse import BlockSparseMatrix
-from localmd_tpu.ops.tiling import flatten_image, unflatten_fov
+from localmd_tpu.ops.tiling import unflatten_fov
 
 
 class PMDArray:
     def __init__(
         self,
         u: Union[scipy.sparse.spmatrix, BlockSparseMatrix],
-        r: np.ndarray,
-        s: np.ndarray,
-        v: np.ndarray,
+        r,
+        s,
+        v,
         data_shape: Tuple[int, int, int],
         data_order: str,
         mean_img: np.ndarray,
@@ -49,55 +53,62 @@ class PMDArray:
                 or a BlockSparseMatrix with zero-padded slots (TPU pipeline).
                 In the latter case ``counts`` gives kept components per block
                 and U is compacted lazily for host/CSR operations.
-            r: (K1, K2) mixing matrix; U @ R has orthonormal columns.
+            r: (K1, K2) mixing matrix (numpy or jax); U @ R orthonormal cols.
             s: (K2,) singular values (diagonal).
-            v: (K2, T) orthonormal temporal basis.
+            v: (K2, T) orthonormal temporal basis (numpy or jax).
             data_shape: (n_frames, d1, d2).
             data_order: "F" or "C" pixel flattening convention.
             mean_img / std_img: (d1, d2) normalization images.
         """
         self.order = data_order
         self.num_frames, self.fov_dim1, self.fov_dim2 = data_shape
-        self._blocksparse = None
+        self._blocksparse: Optional[BlockSparseMatrix] = None
         self._counts = counts
-        self._r_padded = None
 
         if isinstance(u, BlockSparseMatrix):
             if counts is None:
                 raise ValueError("counts required with a BlockSparseMatrix U")
             self._blocksparse = u
-            self._r_padded = np.asarray(r)
-            csr, col_map = u.to_csr(counts)
-            self._u = csr
-            self._r = np.asarray(r)[col_map, :]
+            self._u_csr = None
+            self._col_map = None
+            self._r_padded = r          # (R_padded, K2), device or host
+            self._r_compact = None
         else:
-            self._u = u.tocsr()
-            self._r = np.asarray(r)
+            self._u_csr = u.tocsr()
+            self._col_map = None
+            self._r_padded = None
+            self._r_compact = np.asarray(r)
 
         self._s = np.asarray(s)
-        self._v = np.asarray(v)
-        self._combined_temporal = (self._r * self._s[None, :]).dot(self._v)
+        self._v_src = v
+        self._v_host: Optional[np.ndarray] = None
+        self._combined_temporal_host: Optional[np.ndarray] = None
+        self._combined_temporal_dev = None
         self.mean_img = np.asarray(mean_img)
         self.var_img = np.asarray(std_img)
         self.row_indices = np.arange(self.fov_dim1 * self.fov_dim2).reshape(
             (self.fov_dim1, self.fov_dim2), order=self.order
         )
 
-        # Device-side combined temporal for the fast reconstruct path.
-        if self._blocksparse is not None:
-            self._combined_temporal_padded = jnp.asarray(
-                (self._r_padded * self._s[None, :]) @ self._v
-            )
+    # -- lazy materialization ---------------------------------------------------
+
+    def _ensure_csr(self):
+        if self._u_csr is None:
+            self._u_csr, self._col_map = self._blocksparse.to_csr(self._counts)
+        return self._u_csr
 
     # -- properties (reference pmdarray.py:59-87) ----------------------------
 
     @property
     def u(self) -> scipy.sparse.csr_matrix:
-        return self._u
+        return self._ensure_csr()
 
     @property
     def r(self) -> np.ndarray:
-        return self._r
+        if self._r_compact is None:
+            self._ensure_csr()
+            self._r_compact = np.asarray(self._r_padded)[self._col_map, :]
+        return self._r_compact
 
     @property
     def s(self) -> np.ndarray:
@@ -105,7 +116,9 @@ class PMDArray:
 
     @property
     def v(self) -> np.ndarray:
-        return self._v
+        if self._v_host is None:
+            self._v_host = np.asarray(self._v_src)
+        return self._v_host
 
     @property
     def dtype(self):
@@ -123,6 +136,14 @@ class PMDArray:
     def rank(self) -> int:
         return int(self._s.shape[0])
 
+    @property
+    def _combined_temporal(self) -> np.ndarray:
+        """(K1_compact, T) = (R * s) V, built lazily (reference builds this
+        eagerly at pmdarray.py:50-52)."""
+        if self._combined_temporal_host is None:
+            self._combined_temporal_host = (self.r * self._s[None, :]).dot(self.v)
+        return self._combined_temporal_host
+
     # -- device fast path ------------------------------------------------------
 
     def reconstruct_frames(self, frame_indices) -> jnp.ndarray:
@@ -131,16 +152,20 @@ class PMDArray:
         Output is un-normalized (x std + mean). Falls back to the host CSR
         path if this array was built from a scipy matrix.
         """
-        frame_indices = jnp.asarray(np.atleast_1d(np.asarray(frame_indices)))
+        frame_indices = np.atleast_1d(np.asarray(frame_indices))
         if self._blocksparse is None:
-            out = self._getitem_host((np.asarray(frame_indices), slice(None), slice(None)))
+            out = self._getitem_host((frame_indices, slice(None), slice(None)))
             return jnp.asarray(out.reshape((-1, self.fov_dim1, self.fov_dim2)))
-        temporal = self._combined_temporal_padded[:, frame_indices]   # (R_pad, f)
+        if self._combined_temporal_dev is None:
+            self._combined_temporal_dev = jnp.asarray(self._r_padded) * jnp.asarray(
+                self._s
+            )[None, :] @ jnp.asarray(self._v_src)
+        temporal = self._combined_temporal_dev[:, jnp.asarray(frame_indices)]
         flat = self._blocksparse.matmul(temporal)                     # (d, f)
         movie = unflatten_fov(flat, self.fov_dim1, self.fov_dim2, self.order)
-        std_flat = self.var_img[..., None]
-        mean_flat = self.mean_img[..., None]
-        movie = movie * jnp.asarray(std_flat) + jnp.asarray(mean_flat)
+        movie = movie * jnp.asarray(self.var_img)[..., None] + jnp.asarray(
+            self.mean_img
+        )[..., None]
         return jnp.moveaxis(movie, -1, 0)
 
     # -- host slicing (reference semantics) ------------------------------------
@@ -158,7 +183,7 @@ class PMDArray:
         used_rows = self.row_indices[key[0], key[1]]
         mean_used = self.mean_img[key[0], key[1]]
         var_used = self.var_img[key[0], key[1]]
-        u_used = self._u[used_rows.reshape((-1,), order=self.order)]
+        u_used = self._ensure_csr()[used_rows.reshape((-1,), order=self.order)]
         return u_used, mean_used, var_used, used_rows.shape
 
     def temporal_crop(self, key) -> np.ndarray:
