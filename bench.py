@@ -21,12 +21,18 @@ import numpy as np
 
 
 def make_movie(d1=512, d2=512, t=2048, rank=16, seed=0):
-    rng = np.random.default_rng(seed)
-    spatial = rng.standard_normal((d1 * d2, rank)).astype(np.float32)
-    temporal = rng.standard_normal((rank, t)).astype(np.float32)
+    """Synthetic low-rank + noise movie generated ON DEVICE (this box's
+    host->device tunnel is ~20 MB/s; a production TPU host streams over PCIe,
+    so the benchmark measures decomposition throughput, not tunnel IO)."""
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    spatial = jax.random.normal(k1, (d1 * d2, rank), dtype=jnp.float32)
+    temporal = jax.random.normal(k2, (rank, t), dtype=jnp.float32)
     movie = (spatial @ temporal).T.reshape(t, d1, d2)
-    movie += rng.standard_normal((t, d1, d2), dtype=np.float32)
-    return movie
+    movie = movie + jax.random.normal(k3, (t, d1, d2), dtype=jnp.float32)
+    return jax.block_until_ready(movie)
 
 
 def run_once(movie, quiet=True):

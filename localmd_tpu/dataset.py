@@ -230,10 +230,53 @@ class ZStackArray:
         return (self.n_planes,) + tuple(self.planes[0].shape)
 
 
-def as_dataset(obj) -> PMDDataset:
-    """Normalize user input (PMDDataset | ndarray | path) to a PMDDataset."""
-    if isinstance(obj, PMDDataset):
+class DeviceMovie:
+    """A (T, d1, d2) movie resident in accelerator HBM (a jax.Array).
+
+    For movies that fit on-device (or are generated on-device), this skips
+    ALL host<->device streaming: the loader slices frames with device ops.
+    Duck-types the frame-indexing subset of the PMDDataset contract but
+    returns DEVICE arrays.
+    """
+
+    def __init__(self, array):
+        import jax.numpy as jnp
+
+        self._array = jnp.asarray(array)
+        if self._array.ndim != 3:
+            raise ValueError("DeviceMovie expects a (T, d1, d2) array")
+
+    @property
+    def dtype(self):
+        return self._array.dtype
+
+    @property
+    def shape(self):
+        return tuple(self._array.shape)
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+    def __getitem__(self, item):
+        import jax.numpy as jnp
+
+        if isinstance(item, (list, np.ndarray)):
+            return self._array[jnp.asarray(np.asarray(item))]
+        return self._array[item]
+
+
+def as_dataset(obj):
+    """Normalize user input (PMDDataset | ndarray | jax.Array | path)."""
+    if isinstance(obj, (PMDDataset, DeviceMovie)):
         return obj
+    try:
+        import jax
+
+        if isinstance(obj, jax.Array):
+            return DeviceMovie(obj)
+    except ImportError:  # pragma: no cover
+        pass
     if isinstance(obj, np.ndarray):
         return NumpyArray(obj)
     if isinstance(obj, str):

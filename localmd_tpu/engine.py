@@ -205,6 +205,54 @@ def temporal_projector_batched(spatial: Array, blocks_flat: Array) -> Array:
     return _mm(jnp.swapaxes(spatial, -1, -2), blocks_flat)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 10, 11, 12))
+def window0_chunk_step(
+    data: Array,
+    starts: Array,
+    keys: Array,
+    b1: int,
+    b2: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold: Array | float,
+    temporal_threshold: Array | float,
+    max_consecutive_failures: int,
+    spatial_denoiser: Callable = identity,
+    temporal_denoiser: Callable = identity,
+) -> Tuple[Array, Array, Array]:
+    """Whole single-window block pipeline for one chunk of blocks as ONE
+    compiled program: patch gather -> two-stage decomposition -> failure
+    filter + masked packing -> temporal projection.
+
+    Fusing the stage chain into one program matters on remote/tunneled TPUs
+    where every distinct program pays a load/dispatch cost.
+
+    Args:
+        data: (d1, d2, t) standardized, background-filtered init movie.
+        starts: (n, 2) patch offsets for this chunk (padded to fixed n).
+        keys: (n, 2) per-block PRNG keys.
+
+    Returns:
+        (acc (n, b1*b2, max_rank), counts (n,), v_fit (n, max_rank, t)).
+    """
+    from localmd_tpu.ops.tiling import extract_patches
+
+    patches = extract_patches(data, starts, b1, b2)
+    u, decisions, _ = single_block_md_batched(
+        patches, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
+        spatial_threshold, temporal_threshold, spatial_denoiser, temporal_denoiser,
+    )
+    n = patches.shape[0]
+    acc = jnp.zeros((n, b1 * b2, max_rank), dtype=patches.dtype)
+    counts = jnp.zeros((n,), dtype=jnp.int32)
+    acc, counts = pack_components(
+        u, decisions, acc, counts, max_consecutive_failures
+    )
+    v_fit = temporal_projector_batched(acc, flatten_fov(patches))
+    return acc, counts, v_fit
+
+
 # ---------------------------------------------------------------------------
 # Windowed decomposition driver
 # ---------------------------------------------------------------------------
@@ -317,6 +365,33 @@ def _rank_simulation_batch(
     return jax.vmap(_one)(keys)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _threshold_kernel(
+    key: Array,
+    d1: int,
+    d2: int,
+    t: int,
+    num_comps: int,
+    n_batches: int,
+    sim_batch: int,
+    percentile: Array | float = 5.0,
+) -> Tuple[Array, Array]:
+    """All Monte-Carlo batches + the percentile reduction as ONE program
+    (memory bounded by ``sim_batch`` noise blocks at a time via lax.map)."""
+    batch_keys = jax.random.split(key, n_batches * sim_batch).reshape(
+        n_batches, sim_batch, 2
+    )
+
+    def one_batch(ks):
+        return _rank_simulation_batch(ks, d1, d2, t, num_comps)
+
+    sp, tp = jax.lax.map(one_batch, batch_keys)
+    return (
+        jnp.percentile(sp.ravel(), percentile),
+        jnp.percentile(tp.ravel(), percentile),
+    )
+
+
 def threshold_heuristic(
     dimensions: Tuple[int, int, int],
     num_comps: int = 1,
@@ -327,26 +402,19 @@ def threshold_heuristic(
 ) -> Tuple[float, float]:
     """Spatial/temporal roughness cutoffs from a noise-null Monte-Carlo.
 
-    Runs ``iters`` simulated decompositions of iid noise blocks in vmapped
-    batches (vs the reference's 250 serial host iterations with per-iteration
-    key transfers, decomposition.py:171-189) and returns the
-    ``percentile_threshold``-th percentile of each statistic.
+    Runs >= ``iters`` simulated decompositions of iid noise blocks (rounded
+    up to a whole number of ``sim_batch`` batches so only one program shape
+    exists) and the percentile reduction in a single compiled program — the
+    reference runs 250 serial host iterations with per-iteration key
+    transfers (decomposition.py:171-189).
     """
     if key is None:
         from localmd_tpu.utils import make_key
 
         key = make_key()
     d1, d2, t = dimensions
-    sp_all, tp_all = [], []
-    remaining = iters
-    while remaining > 0:
-        batch = min(sim_batch, remaining)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch)
-        sp, tp = _rank_simulation_batch(keys, d1, d2, t, num_comps)
-        sp_all.append(np.asarray(sp).ravel())
-        tp_all.append(np.asarray(tp).ravel())
-        remaining -= batch
-    spatial_thr = float(np.percentile(np.concatenate(sp_all), percentile_threshold))
-    temporal_thr = float(np.percentile(np.concatenate(tp_all), percentile_threshold))
-    return spatial_thr, temporal_thr
+    n_batches = max(1, -(-iters // sim_batch))
+    s_thr, t_thr = _threshold_kernel(
+        key, d1, d2, t, num_comps, n_batches, sim_batch, percentile_threshold
+    )
+    return float(s_thr), float(t_thr)

@@ -174,10 +174,19 @@ class PMDLoader:
         pmd_loader.py:179-188)."""
         return self.dataset[frames].astype(self.dtype).transpose(1, 2, 0)
 
-    def _load_raw(self, frames) -> np.ndarray:
-        """(T, d1, d2) contiguous host chunk in the dataset's NATIVE dtype
-        (cast + transpose happen on device)."""
+    @property
+    def _device_resident(self) -> bool:
+        from localmd_tpu.dataset import DeviceMovie
+
+        return isinstance(self.dataset, DeviceMovie)
+
+    def _load_raw(self, frames):
+        """(T, d1, d2) chunk in the dataset's NATIVE dtype. For host datasets:
+        a contiguous numpy array (cast + transpose happen on device). For a
+        DeviceMovie: a device slice (no transfer at all)."""
         arr = self.dataset[frames]
+        if self._device_resident:
+            return arr if arr.ndim == 3 else arr[None]
         arr = np.asarray(arr)
         if arr.ndim == 2:
             arr = arr[None]
@@ -194,7 +203,7 @@ class PMDLoader:
         def load(rng):
             return self._load_raw(slice(rng[0], rng[1]))
 
-        if prefetch:
+        if prefetch and not self._device_resident:
             return _prefetch_iter(ranges, load)
         return (load(r) for r in ranges)
 

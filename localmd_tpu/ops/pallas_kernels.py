@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for the PMD hot streaming ops.
+
+``fused_movie_stats``: per-pixel mean + Welch noise sigma of a raw frame
+chunk in ONE pass over HBM. The XLA path (loader stats pass) materializes the
+overlapping Welch segments — (pixels, 7, 256) floats, ~2 GB of HBM write +
+read per 1024-frame chunk — before the DFT matmuls. This kernel streams
+(T, TILE_P) tiles of the chunk into VMEM once (in the movie's NATIVE dtype —
+half the HBM read for uint16 data), slices the 7 overlapping segments
+in-register, runs the windowed partial-DFT matmuls on the MXU, and writes
+back only two (pixels,) images. Same arithmetic as
+:func:`localmd_tpu.ops.noise.welch_noise_estimate` +
+``get_mean_and_noise`` (reference preprocessing_utils.py:10-37).
+
+Falls back to interpreter mode off-TPU (tests run it on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from localmd_tpu.ops.noise import (
+    NPERSEG,
+    _STEP,
+    _BAND_START,
+    _BAND_END,
+    _band_dft_matrices,
+)
+
+TILE_P = 512
+_N_BINS = _BAND_END - _BAND_START  # 64
+
+
+def _stats_kernel(
+    n_segs: int,
+    mean_divisor: float,
+    compute_noise: bool,
+    chunk_ref,      # (T, TILE_P) native dtype
+    cos_t_ref,      # (64, 256) f32 — transposed windowed cos DFT
+    sin_t_ref,      # (64, 256) f32
+    cos1_ref,       # (64, 1) f32 — column sums (detrend correction)
+    sin1_ref,       # (64, 1) f32
+    mean_ref,       # (TILE_P,) f32 out
+    sigma_ref,      # (TILE_P,) f32 out
+):
+    x = chunk_ref[:].astype(jnp.float32)                  # (T, TILE_P)
+    mean_ref[:] = jnp.sum(x, axis=0) / mean_divisor
+
+    if not compute_noise:
+        sigma_ref[:] = jnp.zeros_like(sigma_ref)
+        return
+
+    win = 0.5 - 0.5 * jnp.cos(
+        2.0 * jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (NPERSEG, 1), 0) / NPERSEG
+    )
+    scale = 1.0 / jnp.sum(win * win)
+
+    acc = jnp.zeros((_N_BINS, TILE_P), dtype=jnp.float32)
+    for s in range(n_segs):
+        seg = x[s * _STEP : s * _STEP + NPERSEG, :]       # (256, TILE_P)
+        m = jnp.mean(seg, axis=0, keepdims=True)          # (1, TILE_P)
+        re = jnp.dot(cos_t_ref[:], seg, preferred_element_type=jnp.float32)
+        re = re - cos1_ref[:] * m
+        im = jnp.dot(sin_t_ref[:], seg, preferred_element_type=jnp.float32)
+        im = im - sin1_ref[:] * m
+        acc = acc + re * re + im * im
+
+    band = acc * (scale / n_segs)
+    # halve the Nyquist bin (last row) — reference band arithmetic
+    is_nyq = jax.lax.broadcasted_iota(jnp.int32, (_N_BINS, TILE_P), 0) == _N_BINS - 1
+    band = jnp.where(is_nyq, band * 0.5, band)
+    sigma_ref[:] = jnp.sqrt(jnp.mean(band, axis=0))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def fused_movie_stats(
+    chunk2d: Array, mean_divisor: int, compute_noise: bool = True
+) -> Tuple[Array, Array]:
+    """Per-pixel mean + Welch sigma of a (T, P) raw chunk, single HBM pass.
+
+    Args:
+        chunk2d: (T, P) frame chunk, any real dtype (cast happens in VMEM).
+        mean_divisor: total frames in the FULL movie (chunk contributions to
+            the running mean sum to the global mean, reference
+            preprocessing_utils.py:10-20).
+        compute_noise: if False only the mean is computed (short chunks,
+            reference pmd_loader.py:276-280); sigma output is zeros.
+
+    Returns:
+        (mean (P,), sigma (P,)) float32 on device.
+    """
+    t, p = chunk2d.shape
+    if compute_noise and t < NPERSEG:
+        raise ValueError(f"need at least {NPERSEG} frames for the noise estimate")
+    n_segs = (t - NPERSEG) // _STEP + 1 if compute_noise else 0
+
+    p_pad = ((p + TILE_P - 1) // TILE_P) * TILE_P
+    if p_pad != p:
+        chunk2d = jnp.pad(chunk2d, ((0, 0), (0, p_pad - p)))
+
+    cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(jnp.float32)
+    kernel = functools.partial(
+        _stats_kernel, n_segs, float(mean_divisor), compute_noise
+    )
+
+    grid = (p_pad // TILE_P,)
+    mean, sigma = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, NPERSEG), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, NPERSEG), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_P,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_P,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad,), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(chunk2d, cos_m.T, sin_m.T, cos_1[:, None], sin_1[:, None])
+    return mean[:p], sigma[:p]

@@ -28,6 +28,7 @@ from jax import Array
 
 from localmd_tpu.blocksparse import BlockSparseMatrix
 from localmd_tpu.dataset import as_dataset
+from localmd_tpu import engine
 from localmd_tpu.engine import (
     identity,
     threshold_heuristic,
@@ -183,30 +184,46 @@ def localmd_decomposition(
         f"{min(block_batch_size, n_blocks)}"
     )
 
-    starts_dev = jnp.asarray(grid.starts)
+    sden = spatial_denoiser if spatial_denoiser is not None else identity
+    tden = temporal_denoiser if temporal_denoiser is not None else identity
+    window_len = min(window_chunks, crop_avg_constant)
+    single_window = window_len >= crop_avg_constant
+
+    starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
     bb = min(block_batch_size, n_blocks)
     for s in range(0, n_blocks, bb):
         idx = np.arange(s, min(s + bb, n_blocks))
         pad = bb - len(idx)
         idx_padded = np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
-        patch_batch = extract_patches(
-            data_crop, starts_dev[jnp.asarray(idx_padded)], b1, b2
-        )
+        starts_batch = jnp.asarray(starts_host[idx_padded])
         key, sub = jax.random.split(key)
-        result = windowed_pmd_batched(
-            patch_batch,
-            sub,
-            window_chunks if window_chunks < crop_avg_constant else crop_avg_constant,
-            max_components,
-            spatial_threshold,
-            temporal_threshold,
-            max_consecutive_failures,
-            temporal_avg_factor,
-            spatial_avg_factor,
-            spatial_denoiser if spatial_denoiser is not None else identity,
-            temporal_denoiser if temporal_denoiser is not None else identity,
-        )
+        keys_batch = jax.random.split(sub, bb)
+        if single_window:
+            # Default path: the whole chunk pipeline (gather -> decompose ->
+            # filter/pack -> project) is ONE compiled program.
+            acc_c, counts_c, v_c = engine.window0_chunk_step(
+                data_crop, starts_batch, keys_batch, b1, b2, max_components,
+                temporal_avg_factor, spatial_avg_factor,
+                spatial_threshold, temporal_threshold,
+                max_consecutive_failures, sden, tden,
+            )
+            result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
+        else:
+            patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
+            result = windowed_pmd_batched(
+                patch_batch,
+                sub,
+                window_len,
+                max_components,
+                spatial_threshold,
+                temporal_threshold,
+                max_consecutive_failures,
+                temporal_avg_factor,
+                spatial_avg_factor,
+                sden,
+                tden,
+            )
         sl = slice(0, len(idx))
         panels_chunks.append(result.spatial[sl])
         counts_chunks.append(result.counts[sl])

@@ -1,0 +1,53 @@
+"""Pallas kernels vs their XLA oracles (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localmd_tpu.ops.noise import get_mean_and_noise, welch_noise_estimate
+from localmd_tpu.ops.pallas_kernels import fused_movie_stats
+
+
+class TestFusedMovieStats:
+    def test_matches_xla_path(self, rng):
+        t, p = 512, 700  # p not a multiple of the tile size
+        chunk = rng.standard_normal((t, p)).astype(np.float32) * 2.3 + 1.0
+        mean, sigma = fused_movie_stats(jnp.asarray(chunk), 10_000)
+        expected_mean = chunk.sum(axis=0) / 10_000
+        expected_sigma = np.asarray(welch_noise_estimate(jnp.asarray(chunk.T)))
+        np.testing.assert_allclose(np.asarray(mean), expected_mean, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sigma), expected_sigma, rtol=1e-3)
+
+    def test_uint16_input(self, rng):
+        t, p = 384, 512
+        chunk = rng.integers(0, 5000, size=(t, p), dtype=np.uint16)
+        mean, sigma = fused_movie_stats(jnp.asarray(chunk), t)
+        np.testing.assert_allclose(
+            np.asarray(mean), chunk.astype(np.float64).mean(axis=0), rtol=1e-4
+        )
+        expected_sigma = np.asarray(
+            welch_noise_estimate(jnp.asarray(chunk.T.astype(np.float32)))
+        )
+        np.testing.assert_allclose(np.asarray(sigma), expected_sigma, rtol=1e-3)
+
+    def test_mean_only_mode(self, rng):
+        t, p = 100, 512  # too short for welch
+        chunk = rng.standard_normal((t, p)).astype(np.float32)
+        mean, sigma = fused_movie_stats(jnp.asarray(chunk), 100, compute_noise=False)
+        np.testing.assert_allclose(np.asarray(mean), chunk.mean(axis=0), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sigma), 0.0, atol=1e-7)
+
+    def test_consistency_with_fov_kernel(self, rng):
+        # the (d1, d2, T) XLA kernel and the (T, P) pallas kernel must agree
+        # after C-order pixel reshape
+        d1, d2, t = 16, 32, 512
+        movie = rng.standard_normal((t, d1, d2)).astype(np.float32)
+        fov = jnp.moveaxis(jnp.asarray(movie), 0, -1)
+        m_ref, s_ref = get_mean_and_noise(fov, 1234)
+        mean, sigma = fused_movie_stats(jnp.asarray(movie.reshape(t, d1 * d2)), 1234)
+        np.testing.assert_allclose(
+            np.asarray(mean).reshape(d1, d2), np.asarray(m_ref), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(sigma).reshape(d1, d2), np.asarray(s_ref), rtol=1e-3
+        )
