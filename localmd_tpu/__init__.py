@@ -25,6 +25,8 @@ from localmd_tpu.dataset import (
 from localmd_tpu.blocksparse import BlockSparseMatrix
 from localmd_tpu.loader import PMDLoader
 from localmd_tpu.serialization import save_decomposition, load_decomposition
+from localmd_tpu.volumetric import VolumetricPMD, volumetric_decomposition
+from localmd_tpu.dataset import DeviceMovie
 
 __version__ = "0.1.0"
 
@@ -45,4 +47,7 @@ __all__ = [
     "PMDLoader",
     "save_decomposition",
     "load_decomposition",
+    "VolumetricPMD",
+    "volumetric_decomposition",
+    "DeviceMovie",
 ]

@@ -213,19 +213,34 @@ class PMDLoader:
         display("Computing video statistics (mean + noise sigma)")
         t_total, d1, d2 = self.shape
         normalizer_flag = self._compute_normalizer and t_total >= MIN_NOISE_FRAMES
+        # Fused single-HBM-pass pallas kernel on TPU; XLA path elsewhere.
+        use_pallas = jax.default_backend() not in ("cpu",)
 
         mean_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_chunks = 0
 
         for raw in self._iter_raw_chunks(self.frame_constant):
-            chunk = _to_fov_f32(jnp.asarray(raw))
-            if normalizer_flag and chunk.shape[2] >= MIN_NOISE_FRAMES:
-                m, sig = get_mean_and_noise(chunk, t_total)
+            t_c = raw.shape[0]
+            with_noise = normalizer_flag and t_c >= MIN_NOISE_FRAMES
+            if use_pallas:
+                from localmd_tpu.ops.pallas_kernels import fused_movie_stats
+
+                chunk2d = jnp.asarray(raw).reshape(t_c, d1 * d2)
+                m_flat, sig_flat = fused_movie_stats(
+                    chunk2d, t_total, compute_noise=with_noise
+                )
+                m = m_flat.reshape(d1, d2)
+                sig = sig_flat.reshape(d1, d2)
+            else:
+                chunk = _to_fov_f32(jnp.asarray(raw))
+                if with_noise:
+                    m, sig = get_mean_and_noise(chunk, t_total)
+                else:
+                    m = get_mean_chunk(chunk, t_total)
+            if with_noise:
                 noise_acc = noise_acc + sig
                 noise_chunks += 1
-            else:
-                m = get_mean_chunk(chunk, t_total)
             mean_acc = mean_acc + m
 
         self.mean_img = np.asarray(mean_acc)

@@ -47,19 +47,20 @@ def _stats_kernel(
     sin_t_ref,      # (64, 256) f32
     cos1_ref,       # (64, 1) f32 — column sums (detrend correction)
     sin1_ref,       # (64, 1) f32
-    mean_ref,       # (TILE_P,) f32 out
-    sigma_ref,      # (TILE_P,) f32 out
+    mean_ref,       # (n_tiles, TILE_P) f32 out (whole array resident)
+    sigma_ref,      # (n_tiles, TILE_P) f32 out
 ):
+    i = pl.program_id(0)
     x = chunk_ref[:].astype(jnp.float32)                  # (T, TILE_P)
-    mean_ref[:] = jnp.sum(x, axis=0) / mean_divisor
+    mean_ref[i, :] = jnp.sum(x, axis=0) / mean_divisor
 
     if not compute_noise:
-        sigma_ref[:] = jnp.zeros_like(sigma_ref)
+        sigma_ref[i, :] = jnp.zeros((sigma_ref.shape[1],), jnp.float32)
         return
 
-    win = 0.5 - 0.5 * jnp.cos(
-        2.0 * jnp.pi * jax.lax.broadcasted_iota(jnp.float32, (NPERSEG, 1), 0) / NPERSEG
-    )
+    # tpu.iota only supports integer types; cast after
+    idx = jax.lax.broadcasted_iota(jnp.int32, (NPERSEG, 1), 0).astype(jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * idx / NPERSEG)
     scale = 1.0 / jnp.sum(win * win)
 
     acc = jnp.zeros((_N_BINS, TILE_P), dtype=jnp.float32)
@@ -76,7 +77,7 @@ def _stats_kernel(
     # halve the Nyquist bin (last row) — reference band arithmetic
     is_nyq = jax.lax.broadcasted_iota(jnp.int32, (_N_BINS, TILE_P), 0) == _N_BINS - 1
     band = jnp.where(is_nyq, band * 0.5, band)
-    sigma_ref[:] = jnp.sqrt(jnp.mean(band, axis=0))
+    sigma_ref[i, :] = jnp.sqrt(jnp.mean(band, axis=0))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -122,13 +123,13 @@ def fused_movie_stats(
             pl.BlockSpec((_N_BINS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_P,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_P,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad // TILE_P, TILE_P), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p_pad // TILE_P, TILE_P), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((p_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((p_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad // TILE_P, TILE_P), jnp.float32),
+            jax.ShapeDtypeStruct((p_pad // TILE_P, TILE_P), jnp.float32),
         ],
         interpret=jax.default_backend() == "cpu",
     )(chunk2d, cos_m.T, sin_m.T, cos_1[:, None], sin_1[:, None])
-    return mean[:p], sigma[:p]
+    return mean.reshape(-1)[:p], sigma.reshape(-1)[:p]
