@@ -312,12 +312,14 @@ class PMDLoader:
 
     # -- streaming temporal regression ------------------------------------------
 
-    def v_projection(self, u, p: Array) -> Array:
+    def v_projection(self, u, p: Array, mesh=None) -> Array:
         """V = P^T U^T standardize(movie): second full streaming pass.
 
         Args:
             u: BlockSparseMatrix spatial basis (padded columns fine).
             p: (R, r') mixing matrix — U @ P has orthonormal columns.
+            mesh: optional 1-D jax Mesh — frames-axis data parallelism
+                (zero collectives; reference SURVEY §5's "long axis").
 
         Returns:
             (r', T) DEVICE array (pull to host lazily; tunneled D2H is slow).
@@ -329,7 +331,33 @@ class PMDLoader:
         a_tilde = a / std_flat[:, None]
         c = _mm(a_tilde.T, mean_flat[:, None])[:, 0]          # (r',)
 
+        kernel = _v_projection_kernel
+        n_dev = 1
+        if mesh is not None:
+            from localmd_tpu.parallel.mesh import BLOCK_AXIS
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.devices.size
+
+            def sharded_kernel(a_t, c_r, raw):
+                f = jax.shard_map(
+                    _v_projection_kernel,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(BLOCK_AXIS)),
+                    out_specs=P(None, BLOCK_AXIS),
+                    check_vma=False,
+                )
+                return f(a_t, c_r, raw)
+
+            kernel = sharded_kernel
+
         results = []
         for raw in self._iter_raw_chunks():
-            results.append(_v_projection_kernel(a_tilde, c, jnp.asarray(raw)))
+            raw = jnp.asarray(raw)
+            t_c = raw.shape[0]
+            pad = (-t_c) % n_dev
+            if pad:
+                raw = jnp.concatenate([raw, raw[:pad]], axis=0)
+            out = kernel(a_tilde, c, raw)
+            results.append(out[:, :t_c] if pad else out)
         return jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]

@@ -117,3 +117,36 @@ def get_mean_chunk(movie: Array, mean_divisor: int | Array) -> Array:
     """Mean-only chunk contribution (short chunks skip the noise estimate,
     reference pmd_loader.py:276-280)."""
     return jnp.sum(movie, axis=2) / mean_divisor
+
+
+# -- small per-trace preprocessing helpers (reference preprocessing_utils.py
+#    :43-94 parity; batched over leading dims instead of per-trace vmap) ------
+
+
+@jax.jit
+def center(traces: Array) -> Array:
+    """Subtract each trace's mean: (..., T) -> (..., T)."""
+    return traces - jnp.mean(traces, axis=-1, keepdims=True)
+
+
+@jax.jit
+def center_and_noise_normalize(traces: Array) -> Array:
+    """Center each trace and divide by its Welch noise sigma (reference
+    preprocessing_utils.py:73-81). Requires T >= 256."""
+    centered = center(traces)
+    sigma = welch_noise_estimate(centered)
+    return centered / sigma[..., None]
+
+
+@jax.jit
+def standardize_block(block: Array) -> Array:
+    """Center + noise-normalize every pixel of a (d1, d2, T) block
+    (reference preprocessing_utils.py:84-94)."""
+    return center_and_noise_normalize(block)
+
+
+@jax.jit
+def center_and_get_noise_estimate(movie: Array, mean: Array) -> Array:
+    """Noise sigma image of a movie given its mean image (reference
+    preprocessing_utils.py:43-56). movie (d1, d2, T), mean (d1, d2)."""
+    return welch_noise_estimate(movie - mean[..., None])

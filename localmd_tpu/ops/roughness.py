@@ -28,6 +28,33 @@ import numpy as np
 from jax import Array
 
 
+def l1_norm(data: Array) -> Array:
+    """Overall L1 norm (reference evaluation.py:11-24)."""
+    return jnp.sum(jnp.abs(data))
+
+
+def trend_filter_stat(trace: Array) -> Array:
+    """Sum of absolute second differences of traces (..., T) -> (...,)
+    (reference evaluation.py:27-45; defined but unused by the pipeline)."""
+    second_diff = 2.0 * trace[..., 1:-1] - trace[..., :-2] - trace[..., 2:]
+    return jnp.sum(jnp.abs(second_diff), axis=-1)
+
+
+def total_variation_stat(img: Array) -> Array:
+    """8-neighbor total variation of images (..., d1, d2) -> (...,)
+    (reference evaluation.py:48-81; defined but unused by the pipeline)."""
+    center = img[..., 1:-1, 1:-1]
+    acc = jnp.zeros_like(center)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = img[..., 1 + dy : img.shape[-2] - 1 + dy,
+                          1 + dx : img.shape[-1] - 1 + dx]
+            acc = acc + jnp.abs(center - shifted)
+    return jnp.sum(acc, axis=(-2, -1))
+
+
 def spatial_roughness_stat(u: Array) -> Array:
     """Roughness of images ``u`` shaped (..., d1, d2) -> (...,)."""
     vert = jnp.abs(u[..., 1:, :] - u[..., :-1, :])

@@ -35,6 +35,56 @@ def _mm(a, b):
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
+def sharded_window0_chunk_step(
+    mesh: Mesh,
+    data: Array,
+    starts: Array,
+    keys: Array,
+    b1: int,
+    b2: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold,
+    temporal_threshold,
+    max_consecutive_failures: int,
+    spatial_denoiser=None,
+    temporal_denoiser=None,
+) -> Tuple[Array, Array, Array]:
+    """The fused single-window chunk step (gather -> decompose -> pack ->
+    project) with the block axis sharded over the mesh. ``data`` is
+    replicated; each chip processes its own patches — no collectives.
+
+    ``starts``/``keys`` first dim must be divisible by the mesh size.
+    """
+    from localmd_tpu.engine import identity, window0_chunk_step
+
+    sden = spatial_denoiser if spatial_denoiser is not None else identity
+    tden = temporal_denoiser if temporal_denoiser is not None else identity
+
+    def local(data_r, starts_l, keys_l, sthr, tthr):
+        return window0_chunk_step(
+            data_r, starts_l, keys_l, b1, b2, max_rank, temporal_avg_factor,
+            spatial_avg_factor, sthr, tthr, max_consecutive_failures,
+            sden, tden,
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(BLOCK_AXIS), P(BLOCK_AXIS), P(), P()),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return f(
+        data,
+        starts,
+        keys,
+        jnp.asarray(spatial_threshold, jnp.float32),
+        jnp.asarray(temporal_threshold, jnp.float32),
+    )
+
+
 def sharded_block_decomposition(
     mesh: Mesh,
     local_fn: Callable[[Array, Array], Tuple[Array, Array, Array]],

@@ -96,9 +96,15 @@ def localmd_decomposition(
     block_batch_size: int = 256,
     sim_iters: int = 250,
     final_rank_tol: float = 1e-3,
+    mesh=None,
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
-    decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``).
+    decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
+    ``final_rank_tol``/``mesh``).
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the block decomposition is
+    shard_map'd over the mesh's block axis and the streaming V regression is
+    sharded over frames (see localmd_tpu.parallel).
     """
     dataset_obj = as_dataset(dataset_obj)
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
@@ -192,6 +198,9 @@ def localmd_decomposition(
     starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
     bb = min(block_batch_size, n_blocks)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
     for s in range(0, n_blocks, bb):
         idx = np.arange(s, min(s + bb, n_blocks))
         pad = bb - len(idx)
@@ -201,13 +210,24 @@ def localmd_decomposition(
         keys_batch = jax.random.split(sub, bb)
         if single_window:
             # Default path: the whole chunk pipeline (gather -> decompose ->
-            # filter/pack -> project) is ONE compiled program.
-            acc_c, counts_c, v_c = engine.window0_chunk_step(
-                data_crop, starts_batch, keys_batch, b1, b2, max_components,
-                temporal_avg_factor, spatial_avg_factor,
-                spatial_threshold, temporal_threshold,
-                max_consecutive_failures, sden, tden,
-            )
+            # filter/pack -> project) is ONE compiled program; with a mesh it
+            # is shard_map'd over the block axis (pure data parallelism).
+            if mesh is not None:
+                from localmd_tpu.parallel.sharded import sharded_window0_chunk_step
+
+                acc_c, counts_c, v_c = sharded_window0_chunk_step(
+                    mesh, data_crop, starts_batch, keys_batch, b1, b2,
+                    max_components, temporal_avg_factor, spatial_avg_factor,
+                    spatial_threshold, temporal_threshold,
+                    max_consecutive_failures, sden, tden,
+                )
+            else:
+                acc_c, counts_c, v_c = engine.window0_chunk_step(
+                    data_crop, starts_batch, keys_batch, b1, b2, max_components,
+                    temporal_avg_factor, spatial_avg_factor,
+                    spatial_threshold, temporal_threshold,
+                    max_consecutive_failures, sden, tden,
+                )
             result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
         else:
             patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
@@ -278,7 +298,7 @@ def localmd_decomposition(
 
     # -- streaming temporal regression (full movie, second pass) ---------------
     display("Running streaming V regression over the full movie")
-    v = load_obj.v_projection(u, p)
+    v = load_obj.v_projection(u, p, mesh=mesh)
 
     # -- final reformat ---------------------------------------------------------
     display("Final SVD reformat")

@@ -89,3 +89,22 @@ class TestShardedPhases:
         )
         expected = np.asarray(u.gram_quadratic(jnp.asarray(right)))
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2)
+
+
+class TestMeshPipeline:
+    def test_end_to_end_with_mesh_matches_quality(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from conftest import make_low_rank_movie
+        from localmd_tpu import localmd_decomposition
+
+        rng = np.random.default_rng(11)
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        mesh = make_mesh()
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=300, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=16, seed=0,
+            mesh=mesh,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 1e-2, rel

@@ -1,0 +1,141 @@
+"""Numerical parity vs the reference implementation (when available).
+
+The reference package lives at /root/reference in the build environment.
+RNG streams differ between the two implementations, so parity is asserted on
+deterministic quantities (mean/std images, Welch noise formula) and on
+reconstruction quality, not on raw factor entries.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE_PATH = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_PATH, "localmd")),
+    reason="reference implementation not available",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_localmd(tmp_path_factory):
+    # the reference imports tifffile unconditionally; stub it out
+    shim = tmp_path_factory.mktemp("refshim")
+    (shim / "tifffile").mkdir()
+    (shim / "tifffile" / "__init__.py").write_text(
+        "def imread(*a, **k):\n    raise NotImplementedError\n"
+        "class TiffFile:\n    def __init__(self, *a, **k):\n"
+        "        raise NotImplementedError\n"
+    )
+    sys.path.insert(0, str(shim))
+    sys.path.insert(0, REFERENCE_PATH)
+    import localmd as reference
+
+    return reference
+
+
+@pytest.fixture(scope="module")
+def test_movie():
+    from conftest import make_low_rank_movie
+
+    rng = np.random.default_rng(123)
+    movie = make_low_rank_movie(6, (520, 48, 44), rng)
+    movie += 0.5 * rng.standard_normal(movie.shape).astype(np.float32)
+    return movie
+
+
+class TestStatisticsParity:
+    def test_noise_estimate_formula(self, reference_localmd, rng):
+        """Our batched DFT Welch vs the reference's jax-welch per trace.
+
+        NOTE: the reference hardcodes band indices for nperseg=256
+        (preprocessing_utils.py:31-33, `int(256/4+1)`), i.e. scipy's welch
+        default — but current jax.scipy.signal.welch silently uses
+        nperseg = len(trace), so the reference's *behavior* drifts with the
+        chunk length. We implement the documented 256-segment semantics, so
+        exact agreement holds at trace length 256 (one segment both ways).
+        """
+        import jax.numpy as jnp
+        from localmd.preprocessing_utils import get_noise_estimate as ref_noise
+
+        from localmd_tpu.ops.noise import welch_noise_estimate
+
+        traces = rng.standard_normal((8, 256)).astype(np.float32) * 2.0
+        ours = np.asarray(welch_noise_estimate(jnp.asarray(traces)))
+        theirs = np.array([float(ref_noise(jnp.asarray(t))) for t in traces])
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+    def test_mean_images_match(self, reference_localmd, test_movie):
+        """PMDLoader mean image vs the reference loader on identical data."""
+        from localmd.pmd_loader import PMDLoader as RefLoader
+
+        from localmd_tpu.loader import PMDLoader
+
+        ours = PMDLoader(test_movie, background_rank=2, seed=0)
+        np.random.seed(0)
+        theirs = RefLoader(test_movie, background_rank=2, num_workers=0)
+
+        np.testing.assert_allclose(ours.mean_img, theirs.mean_img, rtol=1e-4, atol=1e-5)
+        # sigma: both must estimate the same noise level (see nperseg note
+        # above — the bands differ off-256 chunks, so allow sampling slack)
+        ratio = ours.std_img / np.asarray(theirs.std_img)
+        assert 0.8 < np.median(ratio) < 1.25, np.median(ratio)
+
+    def test_roughness_stats_match(self, reference_localmd, rng):
+        import jax.numpy as jnp
+        from localmd.evaluation import (
+            spatial_roughness_stat as ref_sp,
+            temporal_roughness_stat as ref_tp,
+        )
+
+        from localmd_tpu.ops.roughness import (
+            spatial_roughness_stat,
+            temporal_roughness_stat,
+        )
+
+        img = rng.standard_normal((14, 17)).astype(np.float32)
+        trace = rng.standard_normal(300).astype(np.float32)
+        np.testing.assert_allclose(
+            float(spatial_roughness_stat(jnp.asarray(img))),
+            float(ref_sp(jnp.asarray(img))),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(temporal_roughness_stat(jnp.asarray(trace))),
+            float(ref_tp(jnp.asarray(trace))),
+            rtol=1e-5,
+        )
+
+
+class TestEndToEndParity:
+    def test_reconstruction_quality_matches_reference(
+        self, reference_localmd, test_movie
+    ):
+        """Both implementations must reach the same reconstruction quality on
+        identical data (RNG streams differ; compare reconstructions)."""
+        from localmd_tpu import localmd_decomposition
+
+        ours = localmd_decomposition(
+            test_movie, (16, 16), frame_range=520, max_components=10,
+            background_rank=2, temporal_avg_factor=4, sim_iters=100, seed=0,
+        )
+        np.random.seed(0)
+        theirs = reference_localmd.localmd_decomposition(
+            test_movie, (16, 16), frame_range=520, max_components=10,
+            background_rank=2, temporal_avg_factor=4, num_workers=0,
+        )
+        recon_ours = ours[:, :, :]
+        recon_theirs = theirs[:, :, :]
+        norm = np.linalg.norm(test_movie)
+        err_ours = np.linalg.norm(recon_ours - test_movie) / norm
+        err_theirs = np.linalg.norm(recon_theirs - test_movie) / norm
+        # our reconstruction must be at least as good as the reference's
+        # (small slack for Monte-Carlo threshold differences)
+        assert err_ours <= err_theirs * 1.1 + 1e-3, (err_ours, err_theirs)
+        # and the two reconstructions must agree with each other far better
+        # than either agrees with the noisy input
+        cross = np.linalg.norm(recon_ours - recon_theirs) / norm
+        assert cross < 0.75 * max(err_ours, err_theirs), (cross, err_ours, err_theirs)
