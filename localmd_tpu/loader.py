@@ -31,6 +31,7 @@ replaced by 1 (reference pmd_loader.py:203-291).
 from __future__ import annotations
 
 import math
+from functools import partial as functools_partial
 import queue
 import threading
 from typing import Iterable, List, Optional, Sequence, Tuple
@@ -118,6 +119,12 @@ def standardize_and_filter(
     return unflatten_fov(flat, d1, d2), temporal_projection
 
 
+@functools_partial(jax.jit, donate_argnums=(0,))
+def _write_time_chunk(buf: Array, chunk: Array, start: int) -> Array:
+    """In-place (donated) write of a (d1, d2, t_c) chunk at time offset."""
+    return jax.lax.dynamic_update_slice(buf, chunk, (0, 0, start))
+
+
 @jax.jit
 def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array) -> Array:
     """One streamed chunk of the folded temporal regression.
@@ -144,6 +151,7 @@ class PMDLoader:
         frame_constant: int = STATS_CHUNK_FRAMES,
         seed: Optional[int] = None,
         num_workers: Optional[int] = None,  # accepted for API parity; IO uses threads
+        precomputed: Optional[dict] = None,
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -156,8 +164,17 @@ class PMDLoader:
         self._compute_normalizer = compute_normalizer
         self._key = make_key(seed)
 
-        self._initialize_normalizers()
-        self._initialize_background()
+        # checkpoint/resume hook: skip the statistics/background passes when
+        # a prior run's results are supplied
+        if precomputed and "mean_img" in precomputed:
+            self.mean_img = np.asarray(precomputed["mean_img"])
+            self.std_img = np.asarray(precomputed["std_img"])
+        else:
+            self._initialize_normalizers()
+        if precomputed and "spatial_basis" in precomputed:
+            self.spatial_basis = jnp.asarray(precomputed["spatial_basis"])
+        else:
+            self._initialize_background()
 
     @property
     def order(self) -> str:
@@ -286,29 +303,39 @@ class PMDLoader:
 
         Returns DEVICE arrays: filtered data (d1, d2, T) and background
         temporal basis (K, T). Processed in bounded temporal chunks
-        (reference pmd_loader.py:348-371) to bound transfer sizes.
+        (reference pmd_loader.py:348-371); chunks are written into a single
+        DONATED device buffer so peak HBM is output + one chunk (a
+        concatenate would transiently double the output).
         """
         mean_d = jnp.asarray(self.mean_img)
         std_d = jnp.asarray(self.std_img)
         basis_d = jnp.asarray(self.spatial_basis)
         t = len(frames)
+        d1, d2 = self.shape[1], self.shape[2]
         chunk_frames = self._stream_chunk_frames()
 
-        out_chunks, tb_chunks = [], []
         spans = list(range(0, t, chunk_frames))
 
         def load(s):
             return self._load_raw(frames[s : s + chunk_frames])
 
-        for raw in _prefetch_iter(spans, load):
+        if len(spans) == 1:
+            chunk = _to_fov_f32(jnp.asarray(load(0)))
+            return standardize_and_filter(chunk, mean_d, std_d, basis_d)
+
+        buf = jnp.zeros((d1, d2, t), dtype=jnp.float32)
+        tb_chunks = []
+        loader = (
+            _prefetch_iter(spans, load)
+            if not self._device_resident
+            else (load(s) for s in spans)
+        )
+        for start, raw in zip(spans, loader):
             chunk = _to_fov_f32(jnp.asarray(raw))
             filt, tb = standardize_and_filter(chunk, mean_d, std_d, basis_d)
-            out_chunks.append(filt)
+            buf = _write_time_chunk(buf, filt, start)
             tb_chunks.append(tb)
-        return (
-            jnp.concatenate(out_chunks, axis=2) if len(out_chunks) > 1 else out_chunks[0],
-            jnp.concatenate(tb_chunks, axis=1) if len(tb_chunks) > 1 else tb_chunks[0],
-        )
+        return buf, jnp.concatenate(tb_chunks, axis=1)
 
     # -- streaming temporal regression ------------------------------------------
 

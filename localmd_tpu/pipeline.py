@@ -97,6 +97,7 @@ def localmd_decomposition(
     sim_iters: int = 250,
     final_rank_tol: float = 1e-3,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -105,12 +106,40 @@ def localmd_decomposition(
     With ``mesh`` (a 1-D jax.sharding.Mesh), the block decomposition is
     shard_map'd over the mesh's block axis and the streaming V regression is
     sharded over frames (see localmd_tpu.parallel).
+
+    With ``checkpoint_path``, each completed stage persists its outputs and a
+    rerun with identical config resumes after the last completed stage (the
+    reference pipeline cannot resume, SURVEY.md §5).
     """
+    from localmd_tpu.checkpoint import PipelineCheckpoint
+
     dataset_obj = as_dataset(dataset_obj)
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
     if seed is not None:
         np.random.seed(seed)
     key = make_key(seed)
+
+    ckpt = PipelineCheckpoint(
+        checkpoint_path,
+        dict(
+            shape=tuple(int(x) for x in dataset_obj.shape),
+            block_sizes=tuple(block_sizes), frame_range=frame_range,
+            max_components=max_components, background_rank=background_rank,
+            sim_conf=sim_conf, max_consecutive_failures=max_consecutive_failures,
+            rank_prune=rank_prune, rank_prune_factor=rank_prune_factor,
+            temporal_avg_factor=temporal_avg_factor,
+            spatial_avg_factor=spatial_avg_factor, order=order,
+            window_chunks=window_chunks, seed=seed, sim_iters=sim_iters,
+        ),
+    )
+
+    precomputed = {}
+    if ckpt.has("stats"):
+        display("Resuming: statistics stage loaded from checkpoint")
+        precomputed.update(ckpt.load("stats"))
+    if ckpt.has("background"):
+        display("Resuming: background stage loaded from checkpoint")
+        precomputed.update(ckpt.load("background"))
 
     load_obj = PMDLoader(
         dataset_obj,
@@ -121,7 +150,12 @@ def localmd_decomposition(
         order=order,
         compute_normalizer=compute_normalizer,
         seed=seed,
+        precomputed=precomputed or None,
     )
+    if not ckpt.has("stats"):
+        ckpt.save("stats", mean_img=load_obj.mean_img, std_img=load_obj.std_img)
+    if not ckpt.has("background"):
+        ckpt.save("background", spatial_basis=load_obj.spatial_basis)
 
     t_total, d1, d2 = load_obj.shape
     if window_chunks is None:
@@ -142,23 +176,39 @@ def localmd_decomposition(
     b1, b2 = block_sizes
 
     # -- thresholds (reference decomposition.py:700-711) ----------------------
-    display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
     key, sub = jax.random.split(key)
-    spatial_threshold, temporal_threshold = threshold_heuristic(
-        (b1, b2, window_chunks),
-        num_comps=1,
-        iters=sim_iters,
-        percentile_threshold=sim_conf,
-        key=sub,
-    )
+    if ckpt.has("thresholds"):
+        display("Resuming: thresholds loaded from checkpoint")
+        thr = ckpt.load("thresholds")
+        spatial_threshold = float(thr["spatial_threshold"])
+        temporal_threshold = float(thr["temporal_threshold"])
+    else:
+        display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
+        spatial_threshold, temporal_threshold = threshold_heuristic(
+            (b1, b2, window_chunks),
+            num_comps=1,
+            iters=sim_iters,
+            percentile_threshold=sim_conf,
+            key=sub,
+        )
+        ckpt.save(
+            "thresholds",
+            spatial_threshold=spatial_threshold,
+            temporal_threshold=temporal_threshold,
+        )
 
     # -- load + filter init frames (device-resident) --------------------------
-    display("Loading and filtering initialization frames")
-    data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
-    if pixel_weighting is not None:
-        data = data * jnp.asarray(pixel_weighting, dtype=data.dtype)[:, :, None]
+    blocks_ckpt = ckpt.has("blocks")
+    if blocks_ckpt:
+        display("Resuming: blockwise decomposition loaded from checkpoint")
+        data = None
+    else:
+        display("Loading and filtering initialization frames")
+        data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
+        if pixel_weighting is not None:
+            data = data * jnp.asarray(pixel_weighting, dtype=data.dtype)[:, :, None]
 
-    t_init = data.shape[2]
+    t_init = len(frames)
     if temporal_avg_factor >= t_init:
         raise ValueError(f"Need at least {temporal_avg_factor} frames")
     if t_init // temporal_avg_factor <= max_components:
@@ -178,8 +228,9 @@ def localmd_decomposition(
         display(f"WARNING: max rank clamped to {max_components} for the rSVD sketch")
 
     crop_avg_constant = (t_init // temporal_avg_factor) * temporal_avg_factor
-    temporal_basis_crop = temporal_basis_crop[:, :crop_avg_constant]
-    data_crop = data[:, :, :crop_avg_constant]
+    if not blocks_ckpt:
+        temporal_basis_crop = temporal_basis_crop[:, :crop_avg_constant]
+        data_crop = data[:, :, :crop_avg_constant]
 
     # -- batched blockwise decomposition --------------------------------------
     grid = BlockGrid(d1, d2, (b1, b2), order=order)
@@ -198,10 +249,17 @@ def localmd_decomposition(
     starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
     bb = min(block_batch_size, n_blocks)
+    if blocks_ckpt:
+        loaded = ckpt.load("blocks")
+        panels = jnp.asarray(loaded["panels"])
+        counts = loaded["counts"]
+        v_blocks = jnp.asarray(loaded["v_blocks"])
+        temporal_basis_crop = jnp.asarray(loaded["temporal_basis_crop"])
+        bb = 0  # skip the loop below
     if mesh is not None:
         n_dev = mesh.devices.size
         bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
-    for s in range(0, n_blocks, bb):
+    for s in range(0, n_blocks if bb else 0, bb or 1):
         idx = np.arange(s, min(s + bb, n_blocks))
         pad = bb - len(idx)
         idx_padded = np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
@@ -249,9 +307,17 @@ def localmd_decomposition(
         counts_chunks.append(result.counts[sl])
         temporal_chunks.append(result.temporal[sl])
 
-    panels = jnp.concatenate(panels_chunks, axis=0)      # (N, p, S)
-    counts = np.asarray(jnp.concatenate(counts_chunks))  # (N,)
-    v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
+    if not blocks_ckpt:
+        panels = jnp.concatenate(panels_chunks, axis=0)      # (N, p, S)
+        counts = np.asarray(jnp.concatenate(counts_chunks))  # (N,)
+        v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
+        ckpt.save(
+            "blocks",
+            panels=panels,
+            counts=counts,
+            v_blocks=v_blocks,
+            temporal_basis_crop=temporal_basis_crop,
+        )
 
     total_rank = int(counts.sum())
     display(f"Total blockwise rank (pre-background): {total_rank}")
@@ -282,23 +348,33 @@ def localmd_decomposition(
     # -- factorized SVD / rank prune (reference decomposition.py:861-881) ------
     k_bg = u.dense_basis.shape[1]
     display(f"Rank before pruning: {total_rank + k_bg}")
-    if rank_prune:
+    key, sub = jax.random.split(key)
+    if ckpt.has("projector"):
+        display("Resuming: mixing matrix loaded from checkpoint")
+        p = jnp.asarray(ckpt.load("projector")["p"])
+    elif rank_prune:
         if rank_prune_factor <= 0 or rank_prune_factor > 1:
             raise ValueError("rank_prune_factor must be in (0, 1]")
         min_dim = min(total_rank + k_bg, v_cropped.shape[1])
-        key, sub = jax.random.split(key)
         random_mat = jax.random.normal(
             sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
         )
         projected_v = jnp.matmul(v_cropped, random_mat)
         p = compute_lowrank_factorized_svd(u, projected_v, only_left=True)
+        ckpt.save("projector", p=p)
     else:
         p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True)
+        ckpt.save("projector", p=p)
     display(f"Rank after reduction: {p.shape[1]}")
 
     # -- streaming temporal regression (full movie, second pass) ---------------
-    display("Running streaming V regression over the full movie")
-    v = load_obj.v_projection(u, p, mesh=mesh)
+    if ckpt.has("v"):
+        display("Resuming: V regression loaded from checkpoint")
+        v = jnp.asarray(ckpt.load("v")["v"])
+    else:
+        display("Running streaming V regression over the full movie")
+        v = load_obj.v_projection(u, p, mesh=mesh)
+        ckpt.save("v", v=v)
 
     # -- final reformat ---------------------------------------------------------
     display("Final SVD reformat")

@@ -189,3 +189,36 @@ class TestFactorizedSVD:
         p = compute_lowrank_factorized_svd(u, jnp.asarray(v), only_left=True)
         up = u.toarray() @ np.asarray(p)
         np.testing.assert_allclose(up.T @ up, np.eye(up.shape[1]), atol=1e-3)
+
+
+class TestCheckpointResume:
+    def test_resume_skips_stages_and_matches(self, rng, tmp_path):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        kw = dict(
+            block_sizes=(12, 12), frame_range=300, max_components=6,
+            background_rank=2, temporal_avg_factor=4, sim_iters=20, seed=0,
+            checkpoint_path=str(tmp_path / "ck"),
+        )
+        first = localmd_decomposition(movie, **kw)
+        # all stage files exist
+        import os
+        stages = ["stats", "background", "thresholds", "blocks", "projector", "v"]
+        for st in stages:
+            assert os.path.exists(str(tmp_path / f"ck.{st}.npz")), st
+        # rerun resumes and produces the identical factorization
+        second = localmd_decomposition(movie, **kw)
+        np.testing.assert_allclose(second.s, first.s, rtol=1e-5)
+        np.testing.assert_allclose(second[7], first[7], atol=1e-4)
+
+    def test_config_change_invalidates(self, rng, tmp_path):
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "ck")
+        localmd_decomposition(movie, checkpoint_path=path, **kw)
+        # different max_components -> stale checkpoints must be ignored
+        kw2 = dict(kw, max_components=5)
+        out = localmd_decomposition(movie, checkpoint_path=path, **kw2)
+        assert out.shape == (280, 20, 20)
