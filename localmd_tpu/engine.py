@@ -205,7 +205,7 @@ def temporal_projector_batched(spatial: Array, blocks_flat: Array) -> Array:
     return _mm(jnp.swapaxes(spatial, -1, -2), blocks_flat)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 10, 11, 12))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 10, 11, 12, 13))
 def window0_chunk_step(
     data: Array,
     starts: Array,
@@ -220,6 +220,7 @@ def window0_chunk_step(
     max_consecutive_failures: int,
     spatial_denoiser: Callable = identity,
     temporal_denoiser: Callable = identity,
+    t_used: int = 0,
 ) -> Tuple[Array, Array, Array]:
     """Whole single-window block pipeline for one chunk of blocks as ONE
     compiled program: patch gather -> two-stage decomposition -> failure
@@ -239,6 +240,10 @@ def window0_chunk_step(
     from localmd_tpu.ops.tiling import extract_patches
 
     patches = extract_patches(data, starts, b1, b2)
+    if t_used and t_used < patches.shape[-1]:
+        # temporal-average crop applied per patch so the caller never has to
+        # materialize a cropped copy of the whole init movie
+        patches = patches[..., :t_used]
     u, decisions, _ = single_block_md_batched(
         patches, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
         spatial_threshold, temporal_threshold, spatial_denoiser, temporal_denoiser,

@@ -50,7 +50,7 @@ from localmd_tpu.utils import display, make_key
 MIN_NOISE_FRAMES = 256  # reference pmd_loader.py:203 min_allowed_frames
 STATS_CHUNK_FRAMES = 1024  # reference pmd_loader.py:171 frame_constant
 # Cap on the f32 bytes a single streamed device chunk may occupy.
-STREAM_CHUNK_BYTES = 2 << 30
+STREAM_CHUNK_BYTES = 1 << 30
 
 
 def _mm(a, b):
@@ -101,7 +101,7 @@ def _to_fov_f32(raw: Array) -> Array:
     return jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
 
 
-@jax.jit
+@functools_partial(jax.jit, donate_argnums=(0,))
 def standardize_and_filter(
     data: Array, mean_img: Array, std_img: Array, spatial_basis_flat: Array
 ) -> Tuple[Array, Array]:
@@ -315,9 +315,15 @@ class PMDLoader:
         chunk_frames = self._stream_chunk_frames()
 
         spans = list(range(0, t, chunk_frames))
+        contiguous = list(frames) == list(range(frames[0], frames[0] + t))
 
         def load(s):
-            return self._load_raw(frames[s : s + chunk_frames])
+            sub = (
+                slice(frames[0] + s, frames[0] + min(s + chunk_frames, t))
+                if contiguous
+                else frames[s : s + chunk_frames]
+            )
+            return self._load_raw(sub)
 
         if len(spans) == 1:
             chunk = _to_fov_f32(jnp.asarray(load(0)))

@@ -110,12 +110,13 @@ def svd_small(data: Array) -> Tuple[Array, Array, Array]:
     return svd_gram_right(data)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def truncated_random_svd(
     matrix: Array,
     key: Array,
     rank: int,
     num_oversamples: int = DEFAULT_OVERSAMPLES,
+    power_iters: int = 0,
 ) -> Tuple[Array, Array, Array]:
     """Randomized truncated SVD (Halko et al. sketch-project-solve).
 
@@ -128,6 +129,10 @@ def truncated_random_svd(
         matrix: (..., d, t). Requires rank + num_oversamples <= min(d, t).
         key: jax PRNG key (one key; batch sketches are drawn jointly).
         rank: number of components to keep (static).
+        power_iters: optional subspace (power) iterations — each adds two
+            matmuls + one re-orthonormalization and sharpens the captured
+            subspace when the spectrum decays slowly (Halko et al. alg 4.4;
+            the reference has no equivalent).
 
     Returns:
         (u (..., d, rank), s (..., rank), vt (..., rank, t)).
@@ -138,6 +143,9 @@ def truncated_random_svd(
     sketch = jax.random.normal(key, batch_shape + (t, k), dtype=matrix.dtype)
     projected = _mm(matrix, sketch)                      # (..., d, k)
     q = cholesky_qr2(projected)                          # (..., d, k)
+    for _ in range(power_iters):
+        z = _mm(jnp.swapaxes(matrix, -1, -2), q)         # (..., t, k)
+        q = cholesky_qr2(_mm(matrix, z))
     b = _mm(jnp.swapaxes(q, -1, -2), matrix)             # (..., k, t)
     u_b, s, vt = svd_gram_left(b)                        # k x k gram
     u = _mm(q, u_b)

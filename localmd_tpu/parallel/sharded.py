@@ -50,6 +50,7 @@ def sharded_window0_chunk_step(
     max_consecutive_failures: int,
     spatial_denoiser=None,
     temporal_denoiser=None,
+    t_used: int = 0,
 ) -> Tuple[Array, Array, Array]:
     """The fused single-window chunk step (gather -> decompose -> pack ->
     project) with the block axis sharded over the mesh. ``data`` is
@@ -66,7 +67,7 @@ def sharded_window0_chunk_step(
         return window0_chunk_step(
             data_r, starts_l, keys_l, b1, b2, max_rank, temporal_avg_factor,
             spatial_avg_factor, sthr, tthr, max_consecutive_failures,
-            sden, tden,
+            sden, tden, t_used,
         )
 
     f = shard_map(

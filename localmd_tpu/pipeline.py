@@ -228,9 +228,20 @@ def localmd_decomposition(
         display(f"WARNING: max rank clamped to {max_components} for the rSVD sketch")
 
     crop_avg_constant = (t_init // temporal_avg_factor) * temporal_avg_factor
+    window_len_probe = min(window_chunks, crop_avg_constant)
     if not blocks_ckpt:
         temporal_basis_crop = temporal_basis_crop[:, :crop_avg_constant]
-        data_crop = data[:, :, :crop_avg_constant]
+        if window_len_probe >= crop_avg_constant:
+            # fused single-window path slices time inside the program — no
+            # cropped copy of the init movie is ever materialized
+            data_crop = data
+        else:
+            data_crop = (
+                data[:, :, :crop_avg_constant]
+                if crop_avg_constant != t_init
+                else data
+            )
+        data = None  # drop the extra reference
 
     # -- batched blockwise decomposition --------------------------------------
     grid = BlockGrid(d1, d2, (b1, b2), order=order)
@@ -248,7 +259,10 @@ def localmd_decomposition(
 
     starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
-    bb = min(block_batch_size, n_blocks)
+    # Bound the block batch so the fused chunk step's working set (patches +
+    # ~3 same-sized intermediates) stays within a ~2 GB budget.
+    per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
+    bb = max(16, min(block_batch_size, n_blocks, int(1e9 // per_block_bytes)))
     if blocks_ckpt:
         loaded = ckpt.load("blocks")
         panels = jnp.asarray(loaded["panels"])
@@ -278,6 +292,7 @@ def localmd_decomposition(
                     max_components, temporal_avg_factor, spatial_avg_factor,
                     spatial_threshold, temporal_threshold,
                     max_consecutive_failures, sden, tden,
+                    t_used=crop_avg_constant,
                 )
             else:
                 acc_c, counts_c, v_c = engine.window0_chunk_step(
@@ -285,6 +300,7 @@ def localmd_decomposition(
                     temporal_avg_factor, spatial_avg_factor,
                     spatial_threshold, temporal_threshold,
                     max_consecutive_failures, sden, tden,
+                    crop_avg_constant,
                 )
             result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
         else:

@@ -256,3 +256,26 @@ class TestTiling:
         expected[0:4] += panels[0]
         expected[2:6] += panels[1]
         np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+class TestPowerIterations:
+    def test_power_iters_improve_slow_decay(self, rng):
+        import jax
+        # slowly decaying spectrum: plain sketch struggles, power iters help
+        d, t, r = 300, 200, 10
+        u_true = np.linalg.qr(rng.standard_normal((d, t)))[0][:, :t]
+        s_true = (1.0 / np.arange(1, t + 1) ** 0.5).astype(np.float32)
+        v_true = np.linalg.qr(rng.standard_normal((t, t)))[0]
+        a = (u_true * s_true) @ v_true.T
+
+        def err(power_iters):
+            u, s, vt = truncated_random_svd(
+                jnp.asarray(a), jax.random.PRNGKey(0), r, 10, power_iters
+            )
+            recon = np.asarray(u) @ np.diag(np.asarray(s)) @ np.asarray(vt)
+            return np.linalg.norm(recon - a)
+
+        optimal = np.sqrt((s_true[r:] ** 2).sum())
+        e0, e2 = err(0), err(2)
+        assert e2 <= e0 + 1e-6
+        assert e2 < 1.05 * optimal, (e2, optimal)
