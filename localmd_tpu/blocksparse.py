@@ -42,19 +42,28 @@ def _mm(a: Array, b: Array) -> Array:
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _matmul_kernel(panels: Array, rows: Array, x_block: Array, n_pixels: int) -> Array:
-    """(n, p, S) panels x (n, S, m) -> scatter-add into (n_pixels, m)."""
-    contrib = _mm(panels, x_block)                       # (n, p, m)
-    out = jnp.zeros((n_pixels, x_block.shape[-1]), dtype=contrib.dtype)
+# Budget for the (blocks, p, m) batched-matmul intermediate; the block axis
+# is chunked so this is never exceeded (a 1024^2 FOV with 2.6k blocks and a
+# 1k-frame right-hand side would otherwise materialize ~17 GB).
+_INTERMEDIATE_BUDGET_BYTES = 1 << 30
+
+
+def _block_group_size(p: int, m: int) -> int:
+    return max(8, int(_INTERMEDIATE_BUDGET_BYTES // (p * m * 4)))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _matmul_accum(out: Array, panels: Array, rows: Array, x_block: Array) -> Array:
+    """out (n_pixels, m) += scatter(panels (g, p, S) @ x_block (g, S, m))."""
+    contrib = _mm(panels, x_block)                       # (g, p, m)
     return out.at[rows.reshape(-1)].add(contrib.reshape(-1, contrib.shape[-1]))
 
 
 @jax.jit
-def _rmatmul_kernel(panels: Array, rows: Array, y: Array) -> Array:
-    """(n_pixels, m) -> (n, S, m) via gather + batched panel^T matmul."""
-    gathered = y[rows]                                   # (n, p, m)
-    return _mm(jnp.swapaxes(panels, -1, -2), gathered)   # (n, S, m)
+def _rmatmul_group(panels: Array, rows: Array, y: Array) -> Array:
+    """(n_pixels, m) -> (g, S, m) via gather + batched panel^T matmul."""
+    gathered = y[rows]                                   # (g, p, m)
+    return _mm(jnp.swapaxes(panels, -1, -2), gathered)   # (g, S, m)
 
 
 @dataclass
@@ -91,18 +100,75 @@ class BlockSparseMatrix:
     # -- products -----------------------------------------------------------
 
     def matmul(self, x: Array) -> Array:
-        """U @ x for x of shape (R, m) -> (n_pixels, m)."""
+        """U @ x for x of shape (R, m) -> (n_pixels, m). The block axis is
+        chunked so the (g, p, m) intermediate stays within budget; the
+        accumulator buffer is donated between chunks (no copies)."""
+        x = jnp.asarray(x)
         nb = self.n_block_cols
-        x_block = x[:nb].reshape(self.n_blocks, self.slots, -1)
-        out = _matmul_kernel(self.panels, self.rows, x_block, self.n_pixels)
+        m = x.shape[-1]
+        x_block = x[:nb].reshape(self.n_blocks, self.slots, m)
+        g = _block_group_size(self.panels.shape[1], m)
+        out = jnp.zeros((self.n_pixels, m), dtype=jnp.float32)
+        if g >= self.n_blocks:
+            out = _matmul_accum(out, self.panels, self.rows, x_block)
+        else:
+            n_pad = ((self.n_blocks + g - 1) // g) * g
+            for s in range(0, n_pad, g):
+                e = min(s + g, self.n_blocks)
+                if e - s < g:
+                    # pad the tail group with zero panels (scatter of zeros
+                    # into row 0 is harmless) to keep one compiled shape
+                    pad = g - (e - s)
+                    panels_g = jnp.concatenate(
+                        [self.panels[s:e], jnp.zeros((pad,) + self.panels.shape[1:],
+                                                     self.panels.dtype)], axis=0)
+                    rows_g = jnp.concatenate(
+                        [self.rows[s:e], jnp.zeros((pad, self.rows.shape[1]),
+                                                   self.rows.dtype)], axis=0)
+                    x_g = jnp.concatenate(
+                        [x_block[s:e], jnp.zeros((pad, self.slots, m), x.dtype)],
+                        axis=0)
+                else:
+                    panels_g, rows_g, x_g = (
+                        self.panels[s:e], self.rows[s:e], x_block[s:e]
+                    )
+                out = _matmul_accum(out, panels_g, rows_g, x_g)
         if self.dense_basis.shape[1]:
             out = out + _mm(self.dense_basis, x[nb:])
         return out
 
     def rmatmul(self, y: Array) -> Array:
-        """U.T @ y for y of shape (n_pixels, m) -> (R, m)."""
-        block_part = _rmatmul_kernel(self.panels, self.rows, y)
-        block_part = block_part.reshape(self.n_block_cols, -1)
+        """U.T @ y for y of shape (n_pixels, m) -> (R, m), block-chunked to
+        bound the (g, p, m) gather intermediate."""
+        y = jnp.asarray(y)
+        m = y.shape[-1]
+        g = _block_group_size(self.panels.shape[1], m)
+        if g >= self.n_blocks:
+            block_part = _rmatmul_group(self.panels, self.rows, y)
+            block_part = block_part.reshape(self.n_block_cols, -1)
+        else:
+            parts = []
+            n_pad = ((self.n_blocks + g - 1) // g) * g
+            for s in range(0, n_pad, g):
+                e = min(s + g, self.n_blocks)
+                if e - s < g:
+                    pad = g - (e - s)
+                    panels_g = jnp.concatenate(
+                        [self.panels[s:e], jnp.zeros((pad,) + self.panels.shape[1:],
+                                                     self.panels.dtype)], axis=0)
+                    rows_g = jnp.concatenate(
+                        [self.rows[s:e], jnp.zeros((pad, self.rows.shape[1]),
+                                                   self.rows.dtype)], axis=0)
+                    parts.append(
+                        _rmatmul_group(panels_g, rows_g, y)[: e - s]
+                    )
+                else:
+                    parts.append(
+                        _rmatmul_group(self.panels[s:e], self.rows[s:e], y)
+                    )
+            block_part = jnp.concatenate(parts, axis=0).reshape(
+                self.n_block_cols, -1
+            )
         if self.dense_basis.shape[1]:
             bg_part = _mm(self.dense_basis.T, y)
             return jnp.concatenate([block_part, bg_part], axis=0)

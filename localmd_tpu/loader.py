@@ -125,6 +125,14 @@ def _write_time_chunk(buf: Array, chunk: Array, start: int) -> Array:
     return jax.lax.dynamic_update_slice(buf, chunk, (0, 0, start))
 
 
+@functools_partial(jax.jit, donate_argnums=(0,))
+def _fold_projector(a: Array, std_flat: Array, mean_flat: Array):
+    """(U P) -> (A~ = UP/std, c = A~^T mean); donates the UP buffer."""
+    a_tilde = a / std_flat[:, None]
+    c = _mm(a_tilde.T, mean_flat[:, None])[:, 0]
+    return a_tilde, c
+
+
 @jax.jit
 def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array) -> Array:
     """One streamed chunk of the folded temporal regression.
@@ -361,8 +369,7 @@ class PMDLoader:
         a = u.matmul(p_dev)                                   # (d, r') dense
         std_flat = flatten_image(jnp.asarray(self.std_img))
         mean_flat = flatten_image(jnp.asarray(self.mean_img))
-        a_tilde = a / std_flat[:, None]
-        c = _mm(a_tilde.T, mean_flat[:, None])[:, 0]          # (r',)
+        a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
         kernel = _v_projection_kernel
         n_dev = 1
