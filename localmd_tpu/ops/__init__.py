@@ -6,13 +6,23 @@ from localmd_tpu.ops.linalg import (
     projected_svd,
     eigh_descending,
 )
-from localmd_tpu.ops.noise import welch_noise_estimate, get_mean_and_noise
+from localmd_tpu.ops.noise import (
+    welch_noise_estimate,
+    get_mean_and_noise,
+    center,
+    center_and_noise_normalize,
+    standardize_block,
+    center_and_get_noise_estimate,
+)
 from localmd_tpu.ops.roughness import (
     spatial_roughness_stat,
     temporal_roughness_stat,
     evaluate_fitness,
     filter_by_failures,
     filter_by_failures_np,
+    l1_norm,
+    trend_filter_stat,
+    total_variation_stat,
 )
 from localmd_tpu.ops.pooling import downsample_average_pooling
 
@@ -31,4 +41,11 @@ __all__ = [
     "filter_by_failures",
     "filter_by_failures_np",
     "downsample_average_pooling",
+    "center",
+    "center_and_noise_normalize",
+    "standardize_block",
+    "center_and_get_noise_estimate",
+    "l1_norm",
+    "trend_filter_stat",
+    "total_variation_stat",
 ]
