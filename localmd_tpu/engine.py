@@ -258,6 +258,67 @@ def window0_chunk_step(
     return acc, counts, v_fit
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10, 11))
+def _md_pack_step(
+    window: Array,
+    keys: Array,
+    acc: Array,
+    counts: Array,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold: Array | float,
+    temporal_threshold: Array | float,
+    max_consecutive_failures: int,
+    spatial_denoiser: Callable = identity,
+    temporal_denoiser: Callable = identity,
+) -> Tuple[Array, Array]:
+    """Window-0 decomposition + failure filter + packing as ONE program."""
+    u, decisions, _ = single_block_md_batched(
+        window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
+        spatial_threshold, temporal_threshold, spatial_denoiser, temporal_denoiser,
+    )
+    return pack_components(u, decisions, acc, counts, max_consecutive_failures)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10, 11, 12))
+def _residual_pack_step(
+    window: Array,
+    keys: Array,
+    acc: Array,
+    counts: Array,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold: Array | float,
+    temporal_threshold: Array | float,
+    max_consecutive_failures: int,
+    include_full_fallback: bool,
+    spatial_denoiser: Callable = identity,
+    temporal_denoiser: Callable = identity,
+) -> Tuple[Array, Array]:
+    """Residual-window decomposition + packing as ONE program.
+
+    With ``include_full_fallback`` (any block still holding zero components,
+    reference decomposition.py:476-488), the full two-stage kernel also runs
+    and its results are selected for the zero-count blocks.
+    """
+    u, decisions, _ = single_residual_block_md_batched(
+        window, acc, keys, max_rank, temporal_avg_factor,
+        spatial_threshold, temporal_threshold,
+    )
+    if include_full_fallback:
+        u_full, dec_full, _ = single_block_md_batched(
+            window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
+            spatial_threshold, temporal_threshold,
+            spatial_denoiser, temporal_denoiser,
+        )
+        is_zero = (counts == 0)[:, None]
+        u = jnp.where(is_zero[..., None], u_full, u)
+        decisions = jnp.where(is_zero, dec_full, decisions)
+    return pack_components(u, decisions, acc, counts, max_consecutive_failures)
+
+
 # ---------------------------------------------------------------------------
 # Windowed decomposition driver
 # ---------------------------------------------------------------------------
@@ -305,35 +366,24 @@ def windowed_pmd_batched(
         keys = jax.random.split(sub, n)
 
         if w_idx == 0:
-            u_new, decisions, _ = single_block_md_batched(
-                window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
-                spatial_threshold, temporal_threshold,
-                spatial_denoiser, temporal_denoiser,
+            acc, counts = _md_pack_step(
+                window, keys, acc, counts, max_rank, temporal_avg_factor,
+                spatial_avg_factor, spatial_threshold, temporal_threshold,
+                max_consecutive_failures, spatial_denoiser, temporal_denoiser,
             )
         else:
             counts_host = np.asarray(counts)
             if int(counts_host.min()) == int(counts_host.max()) == max_rank:
                 break  # every block full
-            u_new, decisions, _ = single_residual_block_md_batched(
-                window, acc, keys, max_rank, temporal_avg_factor,
-                spatial_threshold, temporal_threshold,
+            # Blocks still holding zero components re-run the full two-stage
+            # kernel inside the same program (reference decomposition.py:
+            # 476-488 `k == 0 or component_counter == 0` branch).
+            acc, counts = _residual_pack_step(
+                window, keys, acc, counts, max_rank, temporal_avg_factor,
+                spatial_avg_factor, spatial_threshold, temporal_threshold,
+                max_consecutive_failures, bool((counts_host == 0).any()),
+                spatial_denoiser, temporal_denoiser,
             )
-            # Blocks that still have zero components re-run the full two-stage
-            # kernel (reference decomposition.py:476-488 `k == 0 or
-            # component_counter == 0` branch).
-            if (counts_host == 0).any():
-                u_full, dec_full, _ = single_block_md_batched(
-                    window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
-                    spatial_threshold, temporal_threshold,
-                    spatial_denoiser, temporal_denoiser,
-                )
-                is_zero = (counts == 0)[:, None]
-                u_new = jnp.where(is_zero[..., None], u_full, u_new)
-                decisions = jnp.where(is_zero, dec_full, decisions)
-
-        acc, counts = pack_components(
-            u_new, decisions, acc, counts, max_consecutive_failures
-        )
 
     temporal = temporal_projector_batched(acc, flatten_fov(blocks))
     return WindowedPMDResult(spatial=acc, counts=counts, temporal=temporal)
