@@ -1,0 +1,124 @@
+"""Command-line interface: compress a movie to a PMD .npz.
+
+Usage::
+
+    python -m localmd_tpu.cli compress movie.tif out.npz \
+        --blocks 32 32 --frame-range 5000 --max-components 20
+
+    python -m localmd_tpu.cli info out.npz
+    python -m localmd_tpu.cli export out.npz recon.npy --frames 0 500
+
+The reference ships no CLI (compression runs from a notebook); this makes
+the pipeline usable in batch/production settings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_compress(sub):
+    p = sub.add_parser("compress", help="run the PMD decomposition on a movie")
+    p.add_argument("input", help="movie path (.tif/.tiff/.npy) or raw binary")
+    p.add_argument("output", help="output .npz path")
+    p.add_argument("--blocks", nargs=2, type=int, default=[32, 32])
+    p.add_argument("--frame-range", type=int, default=5000)
+    p.add_argument("--max-components", type=int, default=20)
+    p.add_argument("--background-rank", type=int, default=15)
+    p.add_argument("--temporal-avg-factor", type=int, default=10)
+    p.add_argument("--spatial-avg-factor", type=int, default=2)
+    p.add_argument("--window-chunks", type=int, default=None)
+    p.add_argument("--rank-prune", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint", default=None, help="checkpoint path prefix")
+    p.add_argument("--matmul-precision", default=None,
+                   help="e.g. bfloat16 for faster, slightly lossier matmuls")
+    p.add_argument("--raw-shape", nargs=3, type=int, default=None,
+                   help="T d1 d2 for headerless raw binary input")
+    p.add_argument("--raw-dtype", default="uint16")
+
+
+def _add_info(sub):
+    p = sub.add_parser("info", help="describe a compressed .npz")
+    p.add_argument("input")
+
+
+def _add_export(sub):
+    p = sub.add_parser("export", help="reconstruct frames to a .npy")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--frames", nargs=2, type=int, default=None,
+                   help="start stop (default: all)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="localmd_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_compress(sub)
+    _add_info(sub)
+    _add_export(sub)
+    args = parser.parse_args(argv)
+
+    if args.cmd == "compress":
+        import localmd_tpu
+
+        if args.raw_shape:
+            dataset = localmd_tpu.RawBinaryArray(
+                args.input, tuple(args.raw_shape), dtype=args.raw_dtype
+            )
+        else:
+            dataset = localmd_tpu.as_dataset(args.input)
+        pmd = localmd_tpu.localmd_decomposition(
+            dataset,
+            tuple(args.blocks),
+            frame_range=args.frame_range,
+            max_components=args.max_components,
+            background_rank=args.background_rank,
+            temporal_avg_factor=args.temporal_avg_factor,
+            spatial_avg_factor=args.spatial_avg_factor,
+            window_chunks=args.window_chunks,
+            rank_prune=args.rank_prune,
+            seed=args.seed,
+            checkpoint_path=args.checkpoint,
+            matmul_precision=args.matmul_precision,
+        )
+        pmd.to_npz(args.output)
+        print(json.dumps({
+            "output": args.output,
+            "rank": pmd.rank,
+            "shape": list(pmd.shape),
+            "timings_s": getattr(pmd, "pipeline_timings", {}),
+        }))
+    elif args.cmd == "info":
+        data = np.load(args.input, allow_pickle=True)
+        u_shape = tuple(int(x) for x in data["U_shape"])
+        print(json.dumps({
+            "fov_shape": [int(x) for x in data["fov_shape"]],
+            "fov_order": str(np.asarray(data["fov_order"])),
+            "rank": int(data["s"].shape[0]),
+            "frames": int(data["Vt"].shape[1]),
+            "U_nnz": int(data["U_data"].shape[0]),
+            "U_shape": list(u_shape),
+            "compression_ratio": round(
+                (u_shape[0] * data["Vt"].shape[1])
+                / max(1, data["U_data"].shape[0] + data["R"].size
+                      + data["s"].size + data["Vt"].size), 2),
+        }))
+    elif args.cmd == "export":
+        from localmd_tpu import PMDArray
+
+        pmd = PMDArray.from_npz(args.input)
+        if args.frames:
+            out = pmd[args.frames[0]:args.frames[1]]
+        else:
+            out = pmd[:, :, :]
+        np.save(args.output, out)
+        print(json.dumps({"output": args.output, "shape": list(out.shape)}))
+
+
+if __name__ == "__main__":
+    main()

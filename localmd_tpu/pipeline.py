@@ -98,6 +98,7 @@ def localmd_decomposition(
     final_rank_tol: float = 1e-3,
     mesh=None,
     checkpoint_path: Optional[str] = None,
+    matmul_precision: Optional[str] = None,
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -110,8 +111,42 @@ def localmd_decomposition(
     With ``checkpoint_path``, each completed stage persists its outputs and a
     rerun with identical config resumes after the last completed stage (the
     reference pipeline cannot resume, SURVEY.md §5).
+
+    ``matmul_precision`` (e.g. "bfloat16", "tensorfloat32", "highest") sets
+    jax's default matmul precision for the whole pipeline — on TPU, f32
+    matmuls decompose into multiple bf16 MXU passes, so "bfloat16" trades
+    ~1e-3 relative accuracy for up to ~3-6x matmul throughput.
     """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return localmd_decomposition(
+                dataset_obj, block_sizes, frame_range,
+                max_components=max_components, background_rank=background_rank,
+                sim_conf=sim_conf, frame_batch_size=frame_batch_size,
+                dtype=dtype, num_workers=num_workers,
+                pixel_batch_size=pixel_batch_size,
+                max_consecutive_failures=max_consecutive_failures,
+                rank_prune=rank_prune, rank_prune_factor=rank_prune_factor,
+                temporal_avg_factor=temporal_avg_factor,
+                spatial_avg_factor=spatial_avg_factor, order=order,
+                window_chunks=window_chunks, compute_normalizer=compute_normalizer,
+                pixel_weighting=pixel_weighting, spatial_denoiser=spatial_denoiser,
+                temporal_denoiser=temporal_denoiser, seed=seed,
+                block_batch_size=block_batch_size, sim_iters=sim_iters,
+                final_rank_tol=final_rank_tol, mesh=mesh,
+                checkpoint_path=checkpoint_path, matmul_precision=None,
+            )
     from localmd_tpu.checkpoint import PipelineCheckpoint
+    import time as _time
+
+    timings: dict = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(stage):
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[stage] = round(now - _t0, 4)
+        _t0 = now
 
     dataset_obj = as_dataset(dataset_obj)
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
@@ -156,6 +191,7 @@ def localmd_decomposition(
         ckpt.save("stats", mean_img=load_obj.mean_img, std_img=load_obj.std_img)
     if not ckpt.has("background"):
         ckpt.save("background", spatial_basis=load_obj.spatial_basis)
+    _mark("stats_and_background")
 
     t_total, d1, d2 = load_obj.shape
     if window_chunks is None:
@@ -196,6 +232,7 @@ def localmd_decomposition(
             spatial_threshold=spatial_threshold,
             temporal_threshold=temporal_threshold,
         )
+    _mark("thresholds")
 
     # -- load + filter init frames (device-resident) --------------------------
     blocks_ckpt = ckpt.has("blocks")
@@ -336,6 +373,7 @@ def localmd_decomposition(
         )
 
     total_rank = int(counts.sum())
+    _mark("block_decomposition")
     display(f"Total blockwise rank (pre-background): {total_rank}")
 
     # -- pyramid-weight + normalize + assemble U -------------------------------
@@ -382,6 +420,7 @@ def localmd_decomposition(
         p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True)
         ckpt.save("projector", p=p)
     display(f"Rank after reduction: {p.shape[1]}")
+    _mark("factorized_svd")
 
     # -- streaming temporal regression (full movie, second pass) ---------------
     if ckpt.has("v"):
@@ -391,13 +430,16 @@ def localmd_decomposition(
         display("Running streaming V regression over the full movie")
         v = load_obj.v_projection(u, p, mesh=mesh)
         ckpt.save("v", v=v)
+    _mark("v_regression")
 
     # -- final reformat ---------------------------------------------------------
     display("Final SVD reformat")
     r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
+    _mark("final_reformat")
     display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
+    display(f"Stage timings (s): {timings}")
 
-    return PMDArray(
+    out = PMDArray(
         u,
         r,
         s_vals,
@@ -408,3 +450,5 @@ def localmd_decomposition(
         load_obj.std_img,
         counts=counts,
     )
+    out.pipeline_timings = timings
+    return out
