@@ -371,6 +371,22 @@ class PMDLoader:
         mean_flat = flatten_image(jnp.asarray(self.mean_img))
         a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
+        if mesh is None and jax.default_backend() not in ("cpu",):
+            # Pallas fast path: one HBM pass per chunk, native-dtype reads.
+            # The folded projector's rows are F-order pixels; re-order them to
+            # match the raw (t, d1, d2) chunk's C-order flattening once.
+            from localmd_tpu.ops.pallas_kernels import fused_v_projection
+
+            d1, d2 = self.shape[1], self.shape[2]
+            a_c = unflatten_fov(a_tilde, d1, d2).reshape(d1 * d2, -1)
+            results = []
+            for raw in self._iter_raw_chunks():
+                raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
+                results.append(fused_v_projection(raw2d, a_c, c))
+            return (
+                jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
+            )
+
         kernel = _v_projection_kernel
         n_dev = 1
         if mesh is not None:

@@ -37,6 +37,10 @@ from localmd_tpu.ops.noise import (
 TILE_P = 512
 _N_BINS = _BAND_END - _BAND_START  # 64
 
+# fused V-projection tiling
+_VP_TILE_T = 256
+_VP_TILE_D = 512
+
 
 def _stats_kernel(
     n_segs: int,
@@ -133,3 +137,73 @@ def fused_movie_stats(
         interpret=jax.default_backend() == "cpu",
     )(chunk2d, cos_m.T, sin_m.T, cos_1[:, None], sin_1[:, None])
     return mean.reshape(-1)[:p], sigma.reshape(-1)[:p]
+
+
+# ---------------------------------------------------------------------------
+# Fused streaming V-projection: W = raw2d @ A - c  (one HBM pass over raw)
+# ---------------------------------------------------------------------------
+
+def _vproj_kernel(n_d_tiles: int, raw_ref, a_ref, c_ref, out_ref):
+    """Grid (t_tiles, d_tiles): accumulate raw_tile @ a_tile into the output
+    (t_tile, r') block; subtract the detrend constant on the last d step.
+
+    raw_ref: (TILE_T, TILE_D) in the movie's native dtype (cast in VMEM).
+    a_ref:   (TILE_D, r') f32 folded projector rows (C-order pixels).
+    c_ref:   (1, r') f32 constant (A~^T mean).
+    out_ref: (TILE_T, r') f32.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    x = raw_ref[:].astype(jnp.float32)
+    out_ref[:] += jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_d_tiles - 1)
+    def _():
+        out_ref[:] = out_ref[:] - c_ref[:]
+
+
+@functools.partial(jax.jit)
+def fused_v_projection(raw2d: Array, a_cols: Array, c: Array) -> Array:
+    """(t, d) raw chunk (native dtype, C-order pixels) x (d, r') projector
+    -> (r', t) temporal coefficients, in ONE pass over the raw chunk.
+
+    Equivalent to ``(raw2d.astype(f32) @ a_cols - c).T`` but never
+    materializes the f32 copy of the chunk; uint16 movies are read at 2
+    bytes/pixel straight into VMEM. ``a_cols`` rows must be in the SAME
+    pixel order as raw2d's flattening (C-order; see loader).
+    """
+    t, d = raw2d.shape
+    r = a_cols.shape[1]
+
+    t_pad = ((t + _VP_TILE_T - 1) // _VP_TILE_T) * _VP_TILE_T
+    d_pad = ((d + _VP_TILE_D - 1) // _VP_TILE_D) * _VP_TILE_D
+    r_pad = ((r + 127) // 128) * 128
+    if t_pad != t or d_pad != d:
+        raw2d = jnp.pad(raw2d, ((0, t_pad - t), (0, d_pad - d)))
+    if d_pad != d or r_pad != r:
+        a_cols = jnp.pad(a_cols, ((0, d_pad - d), (0, r_pad - r)))
+    c_row = jnp.pad(c[None, :], ((0, 0), (0, r_pad - r)))
+
+    n_d_tiles = d_pad // _VP_TILE_D
+    kernel = functools.partial(_vproj_kernel, n_d_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(t_pad // _VP_TILE_T, n_d_tiles),
+        in_specs=[
+            pl.BlockSpec((_VP_TILE_T, _VP_TILE_D), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_VP_TILE_D, r_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_VP_TILE_T, r_pad), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, r_pad), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(raw2d, a_cols, c_row)
+    return out[:t, :r].T

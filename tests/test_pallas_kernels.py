@@ -51,3 +51,28 @@ class TestFusedMovieStats:
         np.testing.assert_allclose(
             np.asarray(sigma).reshape(d1, d2), np.asarray(s_ref), rtol=1e-3
         )
+
+
+class TestFusedVProjection:
+    def test_matches_dense_math(self, rng):
+        from localmd_tpu.ops.pallas_kernels import fused_v_projection
+        import jax.numpy as jnp
+
+        t, d, r = 100, 700, 37  # none aligned to tiles
+        raw = rng.integers(0, 4000, size=(t, d)).astype(np.uint16)
+        a = rng.standard_normal((d, r)).astype(np.float32) * 0.01
+        c = rng.standard_normal(r).astype(np.float32)
+        out = np.asarray(fused_v_projection(jnp.asarray(raw), jnp.asarray(a), jnp.asarray(c)))
+        expected = (raw.astype(np.float32) @ a - c[None, :]).T
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+    def test_float32_input(self, rng):
+        from localmd_tpu.ops.pallas_kernels import fused_v_projection
+        import jax.numpy as jnp
+
+        t, d, r = 256, 512, 128  # exactly aligned
+        raw = rng.standard_normal((t, d)).astype(np.float32)
+        a = rng.standard_normal((d, r)).astype(np.float32)
+        c = np.zeros(r, dtype=np.float32)
+        out = np.asarray(fused_v_projection(jnp.asarray(raw), jnp.asarray(a), jnp.asarray(c)))
+        np.testing.assert_allclose(out, (raw @ a).T, rtol=1e-4, atol=1e-3)
