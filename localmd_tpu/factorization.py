@@ -128,3 +128,19 @@ def final_svd_reformat(
     # r and vt stay on device (D2H is slow on tunneled TPUs; PMDArray pulls
     # them lazily only when host slicing / serialization is requested).
     return jnp.take(r, idx, axis=1), s_host[good], jnp.take(vt, idx, axis=0)
+
+
+def aggregate_local_and_global_decomposition(
+    u, v, spatial_basis, temporal_basis
+):
+    """Append the global background basis to a local factorization.
+
+    scipy-level parity helper (reference decomposition.py:912-933): stacks
+    the background spatial basis as extra columns of U and its temporal
+    basis as extra rows of V. The TPU pipeline does this structurally via
+    BlockSparseMatrix.dense_basis; this function serves scipy-based callers.
+    """
+    spatial_bg_sparse = scipy.sparse.coo_matrix(np.asarray(spatial_basis))
+    u_net = scipy.sparse.hstack([u, spatial_bg_sparse])
+    v_net = np.concatenate([np.asarray(v), np.asarray(temporal_basis)], axis=0)
+    return u_net, v_net

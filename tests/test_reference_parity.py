@@ -139,3 +139,55 @@ class TestEndToEndParity:
         # than either agrees with the noisy input
         cross = np.linalg.norm(recon_ours - recon_theirs) / norm
         assert cross < 0.75 * max(err_ours, err_theirs), (cross, err_ours, err_theirs)
+
+
+class TestSerializationCrossCompat:
+    def test_reference_loads_our_npz(self, reference_localmd, test_movie, tmp_path):
+        """A reference user must be able to consume our .npz via their
+        documented loading convention (reference README.md:42-56)."""
+        import scipy.sparse
+        from localmd.pmdarray import PMDArray as RefPMDArray
+
+        from localmd_tpu import localmd_decomposition
+
+        ours = localmd_decomposition(
+            test_movie, (16, 16), frame_range=520, max_components=8,
+            background_rank=2, temporal_avg_factor=4, sim_iters=40, seed=0,
+        )
+        path = str(tmp_path / "ours.npz")
+        ours.to_npz(path)
+
+        data = np.load(path, allow_pickle=True)
+        u = scipy.sparse.csr_matrix(
+            (data["U_data"], data["U_indices"], data["U_indptr"]),
+            shape=tuple(data["U_shape"]),
+        ).tocoo()
+        v = data["Vt"]
+        data_shape = (v.shape[1], int(data["fov_shape"][0]), int(data["fov_shape"][1]))
+        ref_arr = RefPMDArray(
+            u, data["R"], data["s"], v, data_shape,
+            str(np.asarray(data["fov_order"])),
+            data["mean_img"], data["noise_var_img"],
+        )
+        # same frame through both array classes
+        np.testing.assert_allclose(ref_arr[13], ours[13], atol=1e-4)
+
+    def test_we_load_reference_style_npz(self, reference_localmd, test_movie, tmp_path):
+        """Our loader must consume an .npz written from reference outputs."""
+        from localmd_tpu import load_decomposition
+
+        np.random.seed(0)
+        theirs = reference_localmd.localmd_decomposition(
+            test_movie, (16, 16), frame_range=520, max_components=8,
+            background_rank=2, temporal_avg_factor=4, num_workers=0,
+        )
+        path = str(tmp_path / "theirs.npz")
+        u = theirs.u.tocsr()
+        np.savez(
+            path, fov_shape=np.asarray(test_movie.shape[1:]), fov_order=theirs.order,
+            U_data=u.data, U_indices=u.indices, U_indptr=u.indptr,
+            U_shape=np.asarray(u.shape), U_format="csr", R=theirs.r, s=theirs.s,
+            Vt=theirs.v, mean_img=theirs.mean_img, noise_var_img=theirs.var_img,
+        )
+        ours_view = load_decomposition(path)
+        np.testing.assert_allclose(ours_view[21], theirs[21], atol=1e-4)
