@@ -29,11 +29,10 @@ from __future__ import annotations
 
 import base64
 import io
-import math
 import os
 import re
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -46,7 +46,6 @@ from localmd_tpu.ops.roughness import (
     temporal_roughness_stat,
 )
 from localmd_tpu.ops.tiling import flatten_fov, unflatten_fov
-from localmd_tpu.utils import display
 
 
 def _mm(a: Array, b: Array) -> Array:

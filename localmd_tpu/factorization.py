@@ -14,7 +14,7 @@ dropped by the same ``eig_vals > 0`` cut the reference applies
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np

@@ -42,6 +42,14 @@ _VP_TILE_T = 256
 _VP_TILE_D = 512
 
 
+
+def _cast_f32(x):
+    """VMEM-side cast to f32; Mosaic lacks a direct uint16->f32 cast."""
+    if jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _stats_kernel(
     n_segs: int,
     mean_divisor: float,
@@ -55,7 +63,7 @@ def _stats_kernel(
     sigma_ref,      # (n_tiles, TILE_P) f32 out
 ):
     i = pl.program_id(0)
-    x = chunk_ref[:].astype(jnp.float32)                  # (T, TILE_P)
+    x = _cast_f32(chunk_ref[:])                           # (T, TILE_P)
     mean_ref[i, :] = jnp.sum(x, axis=0) / mean_divisor
 
     if not compute_noise:
@@ -71,9 +79,11 @@ def _stats_kernel(
     for s in range(n_segs):
         seg = x[s * _STEP : s * _STEP + NPERSEG, :]       # (256, TILE_P)
         m = jnp.mean(seg, axis=0, keepdims=True)          # (1, TILE_P)
-        re = jnp.dot(cos_t_ref[:], seg, preferred_element_type=jnp.float32)
+        re = jnp.dot(cos_t_ref[:], seg, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         re = re - cos1_ref[:] * m
-        im = jnp.dot(sin_t_ref[:], seg, preferred_element_type=jnp.float32)
+        im = jnp.dot(sin_t_ref[:], seg, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         im = im - sin1_ref[:] * m
         acc = acc + re * re + im * im
 
@@ -158,8 +168,13 @@ def _vproj_kernel(n_d_tiles: int, raw_ref, a_ref, c_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    x = raw_ref[:].astype(jnp.float32)
-    out_ref[:] += jnp.dot(x, a_ref[:], preferred_element_type=jnp.float32)
+    x = _cast_f32(raw_ref[:])
+    # full f32 precision (multi-pass MXU): the temporal fit feeds the final
+    # factorization, where 1-pass bf16 error (~1e-3) would dominate
+    out_ref[:] += jnp.dot(
+        x, a_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(j == n_d_tiles - 1)
     def _():

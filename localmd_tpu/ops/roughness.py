@@ -19,9 +19,6 @@ leading component/block batch comes for free (no per-component vmap needed).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 from jax import Array
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 shard_map = jax.shard_map
 

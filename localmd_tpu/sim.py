@@ -12,8 +12,6 @@ temporally smooth traces + white noise (+ low-rank background).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ Returns a :class:`VolumetricPMD` holding one PMDArray per plane with a
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 
