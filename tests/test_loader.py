@@ -1,0 +1,140 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localmd_tpu.dataset import DeviceMovie, as_dataset
+from localmd_tpu.loader import (
+    PMDLoader,
+    _chunk_ranges,
+    _prefetch_iter,
+    standardize_and_filter,
+)
+from localmd_tpu.ops.noise import welch_noise_estimate
+
+
+class TestChunkRanges:
+    def test_merges_final_chunk(self):
+        # reference FrameDataloader semantics (pmd_loader.py:78-105): the
+        # final chunk is ALWAYS merged into the previous one (even when full)
+        assert _chunk_ranges(10, 4) == [(0, 4), (4, 10)]
+        assert _chunk_ranges(8, 4) == [(0, 8)]
+        assert _chunk_ranges(3, 4) == [(0, 3)]
+        assert _chunk_ranges(12, 4) == [(0, 4), (4, 12)]
+        # every chunk covers, no overlap
+        for total, chunk in [(1000, 128), (1024, 1024), (2047, 1024)]:
+            ranges = _chunk_ranges(total, chunk)
+            assert ranges[0][0] == 0 and ranges[-1][1] == total
+            for (a, b), (c, d) in zip(ranges, ranges[1:]):
+                assert b == c
+
+    def test_min_chunk_length_for_noise(self):
+        # the merged last chunk is always >= chunk (except single-chunk case),
+        # so the reference's 256-frame noise guard stays satisfied
+        for total in range(1025, 3000, 173):
+            ranges = _chunk_ranges(total, 1024)
+            assert all(b - a >= 1024 for a, b in ranges)
+
+
+class TestPrefetchIter:
+    def test_order_preserved(self):
+        items = list(range(20))
+        out = list(_prefetch_iter(items, lambda x: x * 2))
+        assert out == [x * 2 for x in items]
+
+    def test_errors_propagate(self):
+        def bad(x):
+            if x == 3:
+                raise RuntimeError("boom")
+            return x
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(_prefetch_iter(range(10), bad))
+
+
+class TestLoaderStatistics:
+    def test_mean_and_sigma_on_known_noise(self, rng):
+        t, d1, d2 = 1100, 12, 10
+        mean_true = rng.random((d1, d2)).astype(np.float32) * 10
+        sigma_true = 2.5
+        movie = mean_true[None] + sigma_true * rng.standard_normal(
+            (t, d1, d2)
+        ).astype(np.float32)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        np.testing.assert_allclose(loader.mean_img, movie.mean(axis=0), rtol=1e-4)
+        np.testing.assert_allclose(loader.std_img.mean(), sigma_true, rtol=0.1)
+
+    def test_short_movie_skips_normalizer(self, rng):
+        movie = rng.standard_normal((100, 12, 10)).astype(np.float32)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        np.testing.assert_array_equal(loader.std_img, 1.0)
+
+    def test_compute_normalizer_false(self, rng):
+        movie = rng.standard_normal((400, 12, 10)).astype(np.float32)
+        loader = PMDLoader(movie, background_rank=0, compute_normalizer=False, seed=0)
+        np.testing.assert_array_equal(loader.std_img, 1.0)
+
+    def test_precomputed_skips_passes(self, rng):
+        movie = rng.standard_normal((400, 12, 10)).astype(np.float32)
+        mean = np.full((12, 10), 7.0, np.float32)
+        std = np.full((12, 10), 3.0, np.float32)
+        basis = np.zeros((120, 1), np.float32)
+        loader = PMDLoader(
+            movie, background_rank=1, seed=0,
+            precomputed={"mean_img": mean, "std_img": std, "spatial_basis": basis},
+        )
+        np.testing.assert_array_equal(loader.mean_img, mean)
+        np.testing.assert_array_equal(np.asarray(loader.spatial_basis), basis)
+
+
+class TestStandardizeAndFilter:
+    def test_background_removed(self, rng):
+        d1, d2, t, k = 8, 6, 50, 2
+        data = rng.standard_normal((d1, d2, t)).astype(np.float32)
+        mean = np.zeros((d1, d2), np.float32)
+        std = np.ones((d1, d2), np.float32)
+        basis = np.linalg.qr(rng.standard_normal((d1 * d2, k)))[0].astype(np.float32)
+        filt, tb = standardize_and_filter(
+            jnp.asarray(data), jnp.asarray(mean), jnp.asarray(std), jnp.asarray(basis)
+        )
+        # filtered data orthogonal to the basis
+        from localmd_tpu.ops.tiling import flatten_fov
+
+        flat = np.asarray(flatten_fov(filt))
+        np.testing.assert_allclose(basis.T @ flat, 0.0, atol=1e-4)
+        assert tb.shape == (k, t)
+
+
+class TestDeviceMovie:
+    def test_device_slicing(self, rng):
+        movie = rng.standard_normal((50, 8, 6)).astype(np.float32)
+        dm = as_dataset(jnp.asarray(movie))
+        assert isinstance(dm, DeviceMovie)
+        np.testing.assert_allclose(np.asarray(dm[3:7]), movie[3:7])
+        np.testing.assert_allclose(np.asarray(dm[[1, 5, 9]]), movie[[1, 5, 9]])
+
+    def test_loader_zero_copy_pipeline(self, rng):
+        movie = rng.standard_normal((400, 16, 12)).astype(np.float32) + 5
+        loader = PMDLoader(jnp.asarray(movie), background_rank=1, seed=0)
+        assert loader._device_resident
+        np.testing.assert_allclose(loader.mean_img, movie.mean(axis=0), rtol=1e-4)
+
+    def test_v_projection_matches_between_host_and_device_datasets(self, rng):
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        movie = (rng.standard_normal((300, 20, 20)) + 4).astype(np.float32)
+        grid = BlockGrid(20, 20, (10, 10))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 3)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), 400,
+            jnp.zeros((400, 1), jnp.float32),
+        )
+        p = rng.standard_normal((u.shape[1], 5)).astype(np.float32)
+
+        l_host = PMDLoader(movie, background_rank=0, seed=0)
+        l_dev = PMDLoader(jnp.asarray(movie), background_rank=0, seed=0)
+        v_host = np.asarray(l_host.v_projection(u, jnp.asarray(p)))
+        v_dev = np.asarray(l_dev.v_projection(u, jnp.asarray(p)))
+        np.testing.assert_allclose(v_host, v_dev, atol=1e-3)
