@@ -150,6 +150,14 @@ def localmd_decomposition(
 
     dataset_obj = as_dataset(dataset_obj)
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
+    if order != "F":
+        # The compute path flattens pixels in F-order throughout (the
+        # reference's default and documented convention); silently mixing
+        # conventions would corrupt the factorization. PMDArray itself loads
+        # C-order .npz files fine.
+        raise NotImplementedError(
+            "order='C' is not supported by the TPU pipeline yet; use 'F'"
+        )
     if seed is not None:
         np.random.seed(seed)
     key = make_key(seed)

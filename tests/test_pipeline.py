@@ -222,3 +222,48 @@ class TestCheckpointResume:
         kw2 = dict(kw, max_components=5)
         out = localmd_decomposition(movie, checkpoint_path=path, **kw2)
         assert out.shape == (280, 20, 20)
+
+
+class TestParameterRobustness:
+    def test_odd_fov_and_block_sizes(self, rng):
+        movie = make_low_rank_movie(3, (290, 37, 29), rng)
+        pmd = localmd_decomposition(
+            movie, (13, 11), frame_range=290, max_components=5,
+            background_rank=1, temporal_avg_factor=5, sim_iters=15, seed=0,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 0.02, rel
+
+    def test_no_spatial_averaging(self, rng):
+        movie = make_low_rank_movie(2, (280, 24, 24), rng)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, spatial_avg_factor=1,
+            sim_iters=15, seed=0,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 0.02, rel
+
+    def test_small_temporal_avg(self, rng):
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=2, sim_iters=15, seed=0,
+        )
+        assert pmd.shape == (280, 20, 20)
+
+    def test_c_order_rejected(self, rng):
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        with pytest.raises(NotImplementedError):
+            localmd_decomposition(
+                movie, (10, 10), frame_range=280, order="C", sim_iters=5,
+            )
+
+    def test_max_consecutive_failures_two(self, rng):
+        movie = make_low_rank_movie(3, (280, 20, 20), rng, noise=0.05)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=6,
+            background_rank=1, temporal_avg_factor=4,
+            max_consecutive_failures=2, sim_iters=15, seed=0,
+        )
+        assert pmd.rank >= 1
