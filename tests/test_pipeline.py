@@ -267,3 +267,27 @@ class TestParameterRobustness:
             max_consecutive_failures=2, sim_iters=15, seed=0,
         )
         assert pmd.rank >= 1
+
+
+class TestMetrics:
+    def test_metrics_on_clean_movie(self, rng):
+        from localmd_tpu.metrics import (
+            compression_ratio,
+            reconstruction_error,
+            residual_noise_ratio,
+        )
+
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        noisy = movie + 0.3 * rng.standard_normal(movie.shape).astype(np.float32)
+        pmd = localmd_decomposition(
+            noisy, (12, 12), frame_range=300, max_components=6,
+            background_rank=1, temporal_avg_factor=4, sim_iters=20, seed=0,
+        )
+        cr = compression_ratio(pmd)
+        assert cr > 2, cr  # low-rank movie compresses well
+        err = reconstruction_error(pmd, noisy, chunk_frames=128)
+        assert 0 < err["rel_error"] < 1
+        assert err["frames"] == 300
+        # residual should be roughly noise-sized
+        rnr = residual_noise_ratio(pmd, noisy, chunk_frames=128)
+        assert 0.3 < rnr < 3.0, rnr
