@@ -111,10 +111,17 @@ def main(argv=None):
         from localmd_tpu import PMDArray
 
         pmd = PMDArray.from_npz(args.input)
-        if args.frames:
-            out = pmd[args.frames[0]:args.frames[1]]
-        else:
-            out = pmd[:, :, :]
+        frames = (
+            range(args.frames[0], args.frames[1])
+            if args.frames
+            else range(pmd.shape[0])
+        )
+        # chunked device reconstruction (host CSR path would densify at once)
+        parts = []
+        frames = list(frames)
+        for s in range(0, len(frames), 512):
+            parts.append(np.asarray(pmd.reconstruct_frames(frames[s : s + 512])))
+        out = np.concatenate(parts, axis=0)
         np.save(args.output, out)
         print(json.dumps({"output": args.output, "shape": list(out.shape)}))
 

@@ -149,3 +149,18 @@ def filter_by_failures_np(decisions: np.ndarray, max_consecutive_failures: int) 
             number_of_failures = 0
             out[k] = True
     return out
+
+
+def construct_final_fitness_decision(
+    images: Array, traces: Array, spatial_threshold, temporal_threshold
+) -> Array:
+    """Reference-signature adapter (reference evaluation.py:167-192):
+    images (d1, d2, r) and traces (T, r) — component axis LAST — returning
+    (r,) 0/1 decisions. The batched pipeline uses :func:`evaluate_fitness`
+    (component axis leading) directly."""
+    return evaluate_fitness(
+        jnp.moveaxis(images, -1, 0),
+        jnp.swapaxes(traces, -1, -2),
+        spatial_threshold,
+        temporal_threshold,
+    )

@@ -28,3 +28,7 @@ def make_key(seed: Optional[int] = None) -> jax.Array:
 def split_keys(key: jax.Array, n: int) -> jax.Array:
     """Split a key into ``n`` keys, shape (n, 2) — used to vmap simulations."""
     return jax.random.split(key, n)
+
+
+# Reference-name alias (reference decomposition.py:134-144 / pmd_loader.py:33)
+make_jax_random_key = make_key
