@@ -53,6 +53,7 @@ def run_once(movie, quiet=True):
         sim_iters=250,
         seed=0,
         block_batch_size=256,
+        rank_prune=True,  # reference demo config (official_demo.ipynb cell 4)
     )
     elapsed = time.perf_counter() - t0
     return pmd, elapsed

@@ -56,11 +56,46 @@ def _as_product_operator(u):
     raise TypeError(f"Unsupported spatial matrix type: {type(u)}")
 
 
+def _gram_quadratic_mesh(u: BlockSparseMatrix, right: Array, mesh) -> Array:
+    """right^T (U^T U) right with the block panels sharded over ``mesh``
+    (one psum at the pyramid-overlap seams; see parallel.sharded). Pads the
+    block axis — and the corresponding rows of ``right`` — to a mesh
+    multiple with zeros (zero panels contribute nothing)."""
+    from localmd_tpu.parallel.sharded import sharded_gram_quadratic
+
+    n_dev = mesh.devices.size
+    n = u.n_blocks
+    n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+    panels, rows = u.panels, u.rows
+    nb_cols = u.n_block_cols
+    right = jnp.asarray(right)
+    if n_pad != n:
+        pad = n_pad - n
+        panels = jnp.concatenate(
+            [panels, jnp.zeros((pad,) + panels.shape[1:], panels.dtype)], axis=0
+        )
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)], axis=0
+        )
+        right = jnp.concatenate(
+            [
+                right[:nb_cols],
+                jnp.zeros((pad * u.slots, right.shape[1]), right.dtype),
+                right[nb_cols:],
+            ],
+            axis=0,
+        )
+    return sharded_gram_quadratic(
+        mesh, panels, rows, u.dense_basis, right, u.n_pixels
+    )
+
+
 def compute_lowrank_factorized_svd(
     u: Union[BlockSparseMatrix, "scipy.sparse.spmatrix"],
     v: Array,
     only_left: bool = False,
     col_chunk: int = DEFAULT_COL_CHUNK,
+    mesh=None,
 ):
     """SVD of the low-rank product ``u @ v``.
 
@@ -69,6 +104,8 @@ def compute_lowrank_factorized_svd(
         v: (R, T) dense temporal factor (zero rows at padded slots are fine).
         only_left: if True return only the spatial mixing matrix P
             ((R, r'), U @ P orthonormal).
+        mesh: optional 1-D jax Mesh — the Gram quadratic form is computed
+            with block panels sharded and one psum at the overlap seams.
 
     Returns:
         P if ``only_left`` else (P', s, Vt) such that (U P') s Vt = U V.
@@ -85,7 +122,10 @@ def compute_lowrank_factorized_svd(
     else:
         right = jnp.eye(r_cols, dtype=v.dtype)
 
-    quad = op.gram_quadratic(right, col_chunk=col_chunk)   # (m, m)
+    if mesh is not None and isinstance(op, BlockSparseMatrix):
+        quad = _gram_quadratic_mesh(op, right, mesh)       # (m, m)
+    else:
+        quad = op.gram_quadratic(right, col_chunk=col_chunk)   # (m, m)
     eig_vals, eig_vecs = eigh_descending(quad)
     eig_vals_np = np.asarray(eig_vals)
     # The reference keeps eig_vals > 0 (decomposition.py:988); with our

@@ -422,10 +422,10 @@ def localmd_decomposition(
             sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
         )
         projected_v = jnp.matmul(v_cropped, random_mat)
-        p = compute_lowrank_factorized_svd(u, projected_v, only_left=True)
+        p = compute_lowrank_factorized_svd(u, projected_v, only_left=True, mesh=mesh)
         ckpt.save("projector", p=p)
     else:
-        p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True)
+        p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True, mesh=mesh)
         ckpt.save("projector", p=p)
     display(f"Rank after reduction: {p.shape[1]}")
     _mark("factorized_svd")
