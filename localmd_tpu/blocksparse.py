@@ -80,6 +80,10 @@ class BlockSparseMatrix:
     rows: Array              # (n_blocks, p) int32 global pixel ids
     n_pixels: int
     dense_basis: Array       # (n_pixels, K) float32 (background; K >= 0)
+    # Optional geometry (set by the pipeline) enabling the fused Pallas
+    # reconstruction path: block offsets and (b1, b2) block shape.
+    starts: Optional[Array] = None
+    block_shape: Optional[Tuple[int, int]] = None
 
     @property
     def n_blocks(self) -> int:

@@ -222,3 +222,113 @@ def fused_v_projection(raw2d: Array, a_cols: Array, c: Array) -> Array:
         interpret=jax.default_backend() == "cpu",
     )(raw2d, a_cols, c_row)
     return out[:t, :r].T
+
+
+# ---------------------------------------------------------------------------
+# Fused blocked reconstruction: movie tile = overlap-add of U_b @ V_b
+# ---------------------------------------------------------------------------
+
+def _recon_kernel(b1, b2, starts_ref, panels_ref, temporal_ref, zeros_ref,
+                  out_ref, scratch_ref, sem_ref):
+    """Sequential grid over blocks: compute the block's (b1, b2, f) panel
+    product in VMEM and read-modify-write its rectangle of the HBM output
+    (overlap-add; TPU grid steps execute sequentially, so no races).
+
+    starts_ref: (N, 2) scalar-prefetched block offsets.
+    panels_ref: (1, p, S) VMEM — C-ORDER local pixel rows.
+    temporal_ref: (1, S, f) VMEM.
+    zeros_ref/out_ref: (d1, d2, f) HBM, aliased (zeros in, result out).
+    """
+    del zeros_ref  # aliased with out_ref; only referenced to keep it live
+    n = pl.program_id(0)
+    k = starts_ref[n, 0]
+    j = starts_ref[n, 1]
+    f = temporal_ref.shape[-1]
+
+    contrib = jnp.dot(
+        panels_ref[0], temporal_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (p, f)
+    rect = contrib.reshape(b1, b2, f)
+
+    load = pltpu.make_async_copy(
+        out_ref.at[pl.ds(k, b1), pl.ds(j, b2), :], scratch_ref, sem_ref
+    )
+    load.start()
+    load.wait()
+    scratch_ref[:] = scratch_ref[:] + rect
+    store = pltpu.make_async_copy(
+        scratch_ref, out_ref.at[pl.ds(k, b1), pl.ds(j, b2), :], sem_ref
+    )
+    store.start()
+    store.wait()
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def fused_block_reconstruct(
+    panels_c: Array,
+    temporal_blocks: Array,
+    starts: Array,
+    fov_zeros: Array,
+    b1: int,
+    b2: int,
+) -> Array:
+    """Overlap-add reconstruction of a (d1, d2, f) standardized movie tile.
+
+    Args:
+        panels_c: (N, b1*b2, S) block panels with C-ORDER local pixel rows
+            (row = i * b2 + j; convert from the F-order pipeline panels with
+            :func:`panels_f_to_c`).
+        temporal_blocks: (N, S, f) per-block temporal coefficients.
+        starts: (N, 2) int32 block offsets.
+        fov_zeros: (d1, d2, f) float32 zeros (donated as the accumulator).
+
+    Returns:
+        (d1, d2, f) sum over blocks of U_b @ V_b placed at each block's
+        rectangle (the caller applies weights/normalization/mean fold).
+    """
+    n, p, s = panels_c.shape
+    f_orig = temporal_blocks.shape[-1]
+    # Mosaic DMA rectangles must be 128-aligned on the trailing (frame) dim.
+    f = ((f_orig + 127) // 128) * 128
+    if f != f_orig:
+        temporal_blocks = jnp.pad(
+            temporal_blocks, ((0, 0), (0, 0), (0, f - f_orig))
+        )
+        fov_zeros = jnp.pad(fov_zeros, ((0, 0), (0, 0), (0, f - f_orig)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, p, s), lambda i, starts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, f), lambda i, starts: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((b1, b2, f), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_recon_kernel, b1, b2)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(fov_zeros.shape, jnp.float32),
+        input_output_aliases={3: 0},  # zeros accumulator -> output
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, panels_c, temporal_blocks, fov_zeros)
+    return out[..., :f_orig]
+
+
+def panels_f_to_c(panels: Array, b1: int, b2: int) -> Array:
+    """Reorder (N, b1*b2, S) panel rows from F-order (i + j*b1) to C-order
+    (i*b2 + j) local pixel ids."""
+    n, p, s = panels.shape
+    return (
+        panels.reshape(n, b2, b1, s).swapaxes(1, 2).reshape(n, p, s)
+    )

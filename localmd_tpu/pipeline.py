@@ -400,6 +400,8 @@ def localmd_decomposition(
         rows=rows_dev,
         n_pixels=d1 * d2,
         dense_basis=jnp.asarray(load_obj.spatial_basis),
+        starts=jnp.asarray(grid.starts),
+        block_shape=(b1, b2),
     )
 
     # V rows must mirror U's column layout: padded block slots then background.

@@ -157,16 +157,53 @@ class PMDArray:
             out = self._getitem_host((frame_indices, slice(None), slice(None)))
             return jnp.asarray(out.reshape((-1, self.fov_dim1, self.fov_dim2)))
         if self._combined_temporal_dev is None:
-            self._combined_temporal_dev = jnp.asarray(self._r_padded) * jnp.asarray(
-                self._s
-            )[None, :] @ jnp.asarray(self._v_src)
+            self._combined_temporal_dev = jnp.matmul(
+                jnp.asarray(self._r_padded) * jnp.asarray(self._s)[None, :],
+                jnp.asarray(self._v_src),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         temporal = self._combined_temporal_dev[:, jnp.asarray(frame_indices)]
-        flat = self._blocksparse.matmul(temporal)                     # (d, f)
-        movie = unflatten_fov(flat, self.fov_dim1, self.fov_dim2, self.order)
+        movie = self._reconstruct_standardized(temporal)
         movie = movie * jnp.asarray(self.var_img)[..., None] + jnp.asarray(
             self.mean_img
         )[..., None]
         return jnp.moveaxis(movie, -1, 0)
+
+    def _reconstruct_standardized(self, temporal) -> jnp.ndarray:
+        """U @ temporal as a (d1, d2, f) image. Uses the fused Pallas
+        overlap-add kernel on TPU when the blocked geometry is available;
+        XLA scatter-add otherwise."""
+        u = self._blocksparse
+        use_pallas = (
+            u.starts is not None
+            and u.block_shape is not None
+            and jax.default_backend() not in ("cpu",)
+        )
+        if not use_pallas:
+            flat = u.matmul(temporal)                             # (d, f)
+            return unflatten_fov(flat, self.fov_dim1, self.fov_dim2, self.order)
+        from localmd_tpu.ops.pallas_kernels import (
+            fused_block_reconstruct,
+            panels_f_to_c,
+        )
+
+        b1, b2 = u.block_shape
+        if getattr(self, "_panels_c", None) is None:
+            self._panels_c = panels_f_to_c(u.panels, b1, b2)
+        nb = u.n_block_cols
+        f = temporal.shape[-1]
+        t_blocks = temporal[:nb].reshape(u.n_blocks, u.slots, f)
+        img = fused_block_reconstruct(
+            self._panels_c, t_blocks, u.starts,
+            jnp.zeros((self.fov_dim1, self.fov_dim2, f), jnp.float32), b1, b2,
+        )
+        if u.dense_basis.shape[1]:
+            bg_flat = jnp.matmul(
+                u.dense_basis, temporal[nb:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            img = img + unflatten_fov(bg_flat, self.fov_dim1, self.fov_dim2, self.order)
+        return img
 
     # -- host slicing (reference semantics) ------------------------------------
 

@@ -76,3 +76,34 @@ class TestFusedVProjection:
         c = np.zeros(r, dtype=np.float32)
         out = np.asarray(fused_v_projection(jnp.asarray(raw), jnp.asarray(a), jnp.asarray(c)))
         np.testing.assert_allclose(out, (raw @ a).T, rtol=1e-4, atol=1e-3)
+
+
+class TestFusedBlockReconstruct:
+    def test_matches_scatter_add(self, rng):
+        import jax.numpy as jnp
+        from localmd_tpu.ops.pallas_kernels import (
+            fused_block_reconstruct,
+            panels_f_to_c,
+        )
+        from localmd_tpu.ops.tiling import BlockGrid, unflatten_fov
+
+        d1, d2, f, S = 24, 16, 8, 3
+        grid = BlockGrid(d1, d2, (8, 8))
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, S)).astype(np.float32)
+        temporal = rng.standard_normal((n, S, f)).astype(np.float32)
+
+        # oracle: F-order scatter-add
+        expected = np.zeros((d1 * d2, f), np.float32)
+        for b in range(n):
+            expected[grid.rows[b]] += panels[b] @ temporal[b]
+        expected_img = np.asarray(
+            unflatten_fov(jnp.asarray(expected), d1, d2)
+        )
+
+        panels_c = panels_f_to_c(jnp.asarray(panels), 8, 8)
+        out = fused_block_reconstruct(
+            panels_c, jnp.asarray(temporal), jnp.asarray(grid.starts),
+            jnp.zeros((d1, d2, f), jnp.float32), 8, 8,
+        )
+        np.testing.assert_allclose(np.asarray(out), expected_img, atol=1e-4)
