@@ -37,9 +37,26 @@ from localmd_tpu.ops.noise import (
 TILE_P = 512
 _N_BINS = _BAND_END - _BAND_START  # 64
 
-# fused V-projection tiling
+# fused V-projection tiling (defaults; shrunk adaptively for large ranks)
 _VP_TILE_T = 256
 _VP_TILE_D = 512
+_VP_VMEM_BUDGET = 12 * 1024 * 1024  # bytes of VMEM the kernel may plan for
+
+
+def _vp_pick_tiles(r_pad: int):
+    """Largest (TILE_D, TILE_T) whose working set (double-buffered inputs +
+    resident accumulator) fits the VMEM budget; None if r' is too large."""
+    for tile_d in (512, 256, 128):
+        for tile_t in (256, 128, 64):
+            need = 4 * (
+                2 * tile_t * tile_d      # raw tiles (double buffered)
+                + 2 * tile_d * r_pad     # projector tiles
+                + tile_t * r_pad         # accumulator
+                + 2 * r_pad              # constant row
+            )
+            if need <= _VP_VMEM_BUDGET:
+                return tile_d, tile_t
+    return None
 
 
 
@@ -153,7 +170,7 @@ def fused_movie_stats(
 # Fused streaming V-projection: W = raw2d @ A - c  (one HBM pass over raw)
 # ---------------------------------------------------------------------------
 
-def _vproj_kernel(n_d_tiles: int, raw_ref, a_ref, c_ref, out_ref):
+def _vproj_kernel(n_d_tiles, raw_ref, a_ref, c_ref, out_ref):
     """Grid (t_tiles, d_tiles): accumulate raw_tile @ a_tile into the output
     (t_tile, r') block; subtract the detrend constant on the last d step.
 
@@ -193,30 +210,37 @@ def fused_v_projection(raw2d: Array, a_cols: Array, c: Array) -> Array:
     """
     t, d = raw2d.shape
     r = a_cols.shape[1]
-
-    t_pad = ((t + _VP_TILE_T - 1) // _VP_TILE_T) * _VP_TILE_T
-    d_pad = ((d + _VP_TILE_D - 1) // _VP_TILE_D) * _VP_TILE_D
     r_pad = ((r + 127) // 128) * 128
+    tiles = _vp_pick_tiles(r_pad)
+    if tiles is None:
+        # rank too large for a VMEM-resident accumulator: plain XLA matmul
+        x = raw2d.astype(jnp.float32)
+        return (jnp.matmul(x, a_cols, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) - c[None, :]).T
+    tile_d, tile_t = tiles
+
+    t_pad = ((t + tile_t - 1) // tile_t) * tile_t
+    d_pad = ((d + tile_d - 1) // tile_d) * tile_d
     if t_pad != t or d_pad != d:
         raw2d = jnp.pad(raw2d, ((0, t_pad - t), (0, d_pad - d)))
     if d_pad != d or r_pad != r:
         a_cols = jnp.pad(a_cols, ((0, d_pad - d), (0, r_pad - r)))
     c_row = jnp.pad(c[None, :], ((0, 0), (0, r_pad - r)))
 
-    n_d_tiles = d_pad // _VP_TILE_D
+    n_d_tiles = d_pad // tile_d
     kernel = functools.partial(_vproj_kernel, n_d_tiles)
     out = pl.pallas_call(
         kernel,
-        grid=(t_pad // _VP_TILE_T, n_d_tiles),
+        grid=(t_pad // tile_t, n_d_tiles),
         in_specs=[
-            pl.BlockSpec((_VP_TILE_T, _VP_TILE_D), lambda i, j: (i, j),
+            pl.BlockSpec((tile_t, tile_d), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_VP_TILE_D, r_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((tile_d, r_pad), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, r_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_VP_TILE_T, r_pad), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((tile_t, r_pad), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, r_pad), jnp.float32),
         interpret=jax.default_backend() == "cpu",

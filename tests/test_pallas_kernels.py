@@ -107,3 +107,17 @@ class TestFusedBlockReconstruct:
             jnp.zeros((d1, d2, f), jnp.float32), 8, 8,
         )
         np.testing.assert_allclose(np.asarray(out), expected_img, atol=1e-4)
+
+    def test_large_rank_tiling(self, rng):
+        # exercises the adaptive tile shrink (and the XLA fallback threshold)
+        from localmd_tpu.ops.pallas_kernels import fused_v_projection, _vp_pick_tiles
+        import jax.numpy as jnp
+
+        assert _vp_pick_tiles(2560) is not None          # shrunk tiles fit
+        t, d, r = 64, 1024, 2560
+        raw = rng.standard_normal((t, d)).astype(np.float32)
+        a = rng.standard_normal((d, r)).astype(np.float32) * 0.02
+        c = rng.standard_normal(r).astype(np.float32)
+        out = np.asarray(fused_v_projection(jnp.asarray(raw), jnp.asarray(a), jnp.asarray(c)))
+        expected = (raw @ a - c[None, :]).T
+        np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-3)
