@@ -308,6 +308,9 @@ def localmd_decomposition(
     # ~3 same-sized intermediates) stays within a ~2 GB budget.
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
     bb = max(16, min(block_batch_size, n_blocks, int(1e9 // per_block_bytes)))
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
     if blocks_ckpt:
         loaded = ckpt.load("blocks")
         panels = jnp.asarray(loaded["panels"])
@@ -315,9 +318,6 @@ def localmd_decomposition(
         v_blocks = jnp.asarray(loaded["v_blocks"])
         temporal_basis_crop = jnp.asarray(loaded["temporal_basis_crop"])
         bb = 0  # skip the loop below
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
     for s in range(0, n_blocks if bb else 0, bb or 1):
         idx = np.arange(s, min(s + bb, n_blocks))
         pad = bb - len(idx)

@@ -291,3 +291,19 @@ class TestMetrics:
         # residual should be roughly noise-sized
         rnr = residual_noise_ratio(pmd, noisy, chunk_frames=128)
         assert 0.3 < rnr < 3.0, rnr
+
+
+class TestCheckpointWithMesh:
+    def test_resume_with_mesh_skips_block_stage(self, rng, tmp_path):
+        from localmd_tpu.parallel.mesh import make_mesh
+
+        movie = make_low_rank_movie(2, (280, 24, 24), rng)
+        mesh = make_mesh()
+        kw = dict(
+            block_sizes=(12, 12), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+            mesh=mesh, checkpoint_path=str(tmp_path / "ck"),
+        )
+        first = localmd_decomposition(movie, **kw)
+        second = localmd_decomposition(movie, **kw)
+        np.testing.assert_allclose(second.s, first.s, rtol=1e-5)
