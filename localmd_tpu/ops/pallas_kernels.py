@@ -252,11 +252,15 @@ def fused_v_projection(raw2d: Array, a_cols: Array, c: Array) -> Array:
 # Fused blocked reconstruction: movie tile = overlap-add of U_b @ V_b
 # ---------------------------------------------------------------------------
 
-def _recon_kernel(b1, b2, starts_ref, panels_ref, temporal_ref, zeros_ref,
-                  out_ref, scratch_ref, sem_ref):
+def _recon_kernel(b1, b2, w1, w2, d1, d2, starts_ref, panels_ref,
+                  temporal_ref, zeros_ref, out_ref, scratch_ref, sem_ref):
     """Sequential grid over blocks: compute the block's (b1, b2, f) panel
     product in VMEM and read-modify-write its rectangle of the HBM output
     (overlap-add; TPU grid steps execute sequentially, so no races).
+
+    Unaligned rectangle DMAs fault the TPU worker, so the kernel moves a
+    WIDENED 8-aligned window (w1, w2, f) containing the block rectangle and
+    places the contribution at the correct in-window offset.
 
     starts_ref: (N, 2) scalar-prefetched block offsets.
     panels_ref: (1, p, S) VMEM — C-ORDER local pixel rows.
@@ -269,6 +273,10 @@ def _recon_kernel(b1, b2, starts_ref, panels_ref, temporal_ref, zeros_ref,
     j = starts_ref[n, 1]
     f = temporal_ref.shape[-1]
 
+    # aligned window origin (clamped so the window stays inside the FOV)
+    k0 = jnp.minimum((k // 8) * 8, d1 - w1)
+    j0 = jnp.minimum((j // 8) * 8, d2 - w2)
+
     contrib = jnp.dot(
         panels_ref[0], temporal_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -276,13 +284,18 @@ def _recon_kernel(b1, b2, starts_ref, panels_ref, temporal_ref, zeros_ref,
     rect = contrib.reshape(b1, b2, f)
 
     load = pltpu.make_async_copy(
-        out_ref.at[pl.ds(k, b1), pl.ds(j, b2), :], scratch_ref, sem_ref
+        out_ref.at[pl.ds(k0, w1), pl.ds(j0, w2), :], scratch_ref, sem_ref
     )
     load.start()
     load.wait()
-    scratch_ref[:] = scratch_ref[:] + rect
+    # add the block at its (dynamic) in-window offset
+    o1 = k - k0
+    o2 = j - j0
+    scratch_ref[pl.ds(o1, b1), pl.ds(o2, b2), :] = (
+        scratch_ref[pl.ds(o1, b1), pl.ds(o2, b2), :] + rect
+    )
     store = pltpu.make_async_copy(
-        scratch_ref, out_ref.at[pl.ds(k, b1), pl.ds(j, b2), :], sem_ref
+        scratch_ref, out_ref.at[pl.ds(k0, w1), pl.ds(j0, w2), :], sem_ref
     )
     store.start()
     store.wait()
@@ -321,6 +334,19 @@ def fused_block_reconstruct(
         )
         fov_zeros = jnp.pad(fov_zeros, ((0, 0), (0, 0), (0, f - f_orig)))
 
+    # widened 8-aligned DMA windows covering any block offset (see kernel)
+    d1_orig, d2_orig = fov_zeros.shape[0], fov_zeros.shape[1]
+    d1, d2 = d1_orig, d2_orig
+    w1 = min(((b1 + 7) // 8) * 8 + 8, ((d1 + 7) // 8) * 8)
+    w2 = min(((b2 + 7) // 8) * 8 + 8, ((d2 + 7) // 8) * 8)
+    if w1 > d1 or w2 > d2:
+        # pad the FOV so the aligned window always fits
+        fov_zeros = jnp.pad(
+            fov_zeros, ((0, w1 - d1 if w1 > d1 else 0),
+                        (0, w2 - d2 if w2 > d2 else 0), (0, 0))
+        )
+        d1, d2 = fov_zeros.shape[0], fov_zeros.shape[1]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
@@ -333,11 +359,11 @@ def fused_block_reconstruct(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((b1, b2, f), jnp.float32),
+            pltpu.VMEM((w1, w2, f), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_recon_kernel, b1, b2)
+    kernel = functools.partial(_recon_kernel, b1, b2, w1, w2, d1, d2)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -346,7 +372,7 @@ def fused_block_reconstruct(
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, panels_c, temporal_blocks, fov_zeros)
-    return out[..., :f_orig]
+    return out[:d1_orig, :d2_orig, :f_orig]
 
 
 def panels_f_to_c(panels: Array, b1: int, b2: int) -> Array:

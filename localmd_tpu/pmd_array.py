@@ -170,17 +170,10 @@ class PMDArray:
         return jnp.moveaxis(movie, -1, 0)
 
     def _pallas_recon_safe(self) -> bool:
-        """Mosaic rectangle DMAs fault at runtime when the sublane (d2)
-        extent or offset is not 8-aligned (verified on hardware — an
-        unaligned kernel crashes the TPU worker). Gate the fused path."""
-        if getattr(self, "_pallas_safe_cache", None) is None:
-            u = self._blocksparse
-            b2 = u.block_shape[1]
-            starts_col = np.asarray(u.starts)[:, 1]
-            self._pallas_safe_cache = bool(
-                b2 % 8 == 0 and (starts_col % 8 == 0).all()
-            )
-        return self._pallas_safe_cache
+        """The fused kernel moves widened 8-aligned DMA windows, so any block
+        geometry is safe (unaligned rectangle DMAs fault the TPU worker —
+        verified on hardware — hence the widening)."""
+        return True
 
     def _reconstruct_standardized(self, temporal) -> jnp.ndarray:
         """U @ temporal as a (d1, d2, f) image. Uses the fused Pallas

@@ -121,3 +121,30 @@ class TestFusedBlockReconstruct:
         out = np.asarray(fused_v_projection(jnp.asarray(raw), jnp.asarray(a), jnp.asarray(c)))
         expected = (raw @ a - c[None, :]).T
         np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-3)
+
+    def test_unaligned_blocks_and_fov(self, rng):
+        # 20x20 blocks on a 60x52 FOV: offsets at multiples of 10 (8-unaligned)
+        # and a FOV that forces the widened-window padding path
+        import jax.numpy as jnp
+        from localmd_tpu.ops.pallas_kernels import (
+            fused_block_reconstruct,
+            panels_f_to_c,
+        )
+        from localmd_tpu.ops.tiling import BlockGrid, unflatten_fov
+
+        d1, d2, f, S = 60, 52, 4, 3
+        grid = BlockGrid(d1, d2, (20, 20))
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, S)).astype(np.float32)
+        temporal = rng.standard_normal((n, S, f)).astype(np.float32)
+        expected = np.zeros((d1 * d2, f), np.float32)
+        for b in range(n):
+            expected[grid.rows[b]] += panels[b] @ temporal[b]
+        expected_img = np.asarray(unflatten_fov(jnp.asarray(expected), d1, d2))
+        panels_c = panels_f_to_c(jnp.asarray(panels), 20, 20)
+        out = fused_block_reconstruct(
+            panels_c, jnp.asarray(temporal), jnp.asarray(grid.starts),
+            jnp.zeros((d1, d2, f), jnp.float32), 20, 20,
+        )
+        assert out.shape == (d1, d2, f)
+        np.testing.assert_allclose(np.asarray(out), expected_img, atol=1e-4)
