@@ -248,11 +248,13 @@ class TiffReader:
         self._file.close()
 
 
-def write_tiff(filename: str, movie: np.ndarray) -> None:
+def write_tiff(filename: str, movie: np.ndarray, rows_per_strip: int = 0) -> None:
     """Write a (T, H, W) array as an uncompressed little-endian multipage TIFF.
 
-    Used for tests and for generating benchmark inputs; the layout matches what
-    :class:`TiffReader` parses (one strip per page).
+    Used for tests and for generating benchmark inputs. ``rows_per_strip``
+     0/>=H emits one strip per page (what :class:`TiffReader`'s fast native
+    path reads); smaller values emit multi-strip pages (exercising the
+    reader's strip-concatenation path, as scanners/writers in the wild do).
     """
     movie = np.asarray(movie)
     if movie.ndim != 3:
@@ -261,35 +263,67 @@ def write_tiff(filename: str, movie: np.ndarray) -> None:
     dt = movie.dtype.newbyteorder("<")
     kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+    rps = h if rows_per_strip in (0, None) or rows_per_strip >= h else rows_per_strip
+    n_strips = -(-h // rps)
+    strip_rows = [min(rps, h - i * rps) for i in range(n_strips)]
+    strip_bytes = [r * w * dt.itemsize for r in strip_rows]
+    frame_bytes = h * w * dt.itemsize
+
     n_entries = 8
     ifd_size = 2 + n_entries * 12 + 4
-    frame_bytes = h * w * dt.itemsize
+    # out-of-line arrays (strip offsets/counts) needed when n_strips > 1
+    extra_per_page = (8 * n_strips) if n_strips > 1 else 0
 
     with open(filename, "wb") as f:
         f.write(b"II*\x00")
         first_ifd = 8
         f.write(struct.pack("<I", first_ifd))
-        data_start = first_ifd + t * ifd_size
+        arrays_start = first_ifd + t * ifd_size
+        data_start = arrays_start + t * extra_per_page
         for k in range(t):
             ifd_off = first_ifd + k * ifd_size
-            strip_off = data_start + k * frame_bytes
+            page_data = data_start + k * frame_bytes
+            offsets = []
+            acc = 0
+            for sb in strip_bytes:
+                offsets.append(page_data + acc)
+                acc += sb
             next_ifd = first_ifd + (k + 1) * ifd_size if k + 1 < t else 0
             assert f.tell() == ifd_off
             f.write(struct.pack("<H", n_entries))
+
             def entry(tag, type_id, count, value):
                 f.write(struct.pack("<HHI", tag, type_id, count))
                 if type_id == 3:
                     f.write(struct.pack("<HH", value, 0))
                 else:
                     f.write(struct.pack("<I", value))
+
+            arr_off = arrays_start + k * extra_per_page
             entry(_TAG_IMAGE_WIDTH, 4, 1, w)
             entry(_TAG_IMAGE_LENGTH, 4, 1, h)
             entry(_TAG_BITS_PER_SAMPLE, 3, 1, bits)
             entry(_TAG_COMPRESSION, 3, 1, 1)
-            entry(_TAG_STRIP_OFFSETS, 4, 1, strip_off)
-            entry(_TAG_ROWS_PER_STRIP, 4, 1, h)
-            entry(_TAG_STRIP_BYTE_COUNTS, 4, 1, frame_bytes)
+            if n_strips > 1:
+                entry(_TAG_STRIP_OFFSETS, 4, n_strips, arr_off)
+            else:
+                entry(_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
+            entry(_TAG_ROWS_PER_STRIP, 4, 1, rps)
+            if n_strips > 1:
+                entry(_TAG_STRIP_BYTE_COUNTS, 4, n_strips, arr_off + 4 * n_strips)
+            else:
+                entry(_TAG_STRIP_BYTE_COUNTS, 4, 1, strip_bytes[0])
             entry(_TAG_SAMPLE_FORMAT, 3, 1, kind)
             f.write(struct.pack("<I", next_ifd))
+        if n_strips > 1:
+            for k in range(t):
+                page_data = data_start + k * frame_bytes
+                offsets = []
+                acc = 0
+                for sb in strip_bytes:
+                    offsets.append(page_data + acc)
+                    acc += sb
+                f.write(struct.pack("<" + "I" * n_strips, *offsets))
+                f.write(struct.pack("<" + "I" * n_strips, *strip_bytes))
         for k in range(t):
             f.write(np.ascontiguousarray(movie[k]).astype(dt, copy=False).tobytes())

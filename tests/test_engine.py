@@ -162,3 +162,58 @@ class TestThresholdHeuristic:
         a = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
         b = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
         assert a == b
+
+
+class TestFusedSteps:
+    def test_window0_chunk_step_equals_separate_calls(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from localmd_tpu.engine import window0_chunk_step
+        from localmd_tpu.ops.tiling import BlockGrid, extract_patches, flatten_fov
+
+        data = rng.standard_normal((40, 40, 120)).astype(np.float32)
+        grid = BlockGrid(40, 40, (16, 16))
+        starts = jnp.asarray(grid.starts)
+        keys = jax.random.split(jax.random.PRNGKey(0), grid.n_blocks)
+
+        acc, counts, v_fit = window0_chunk_step(
+            jnp.asarray(data), starts, keys, 16, 16, 4, 4, 2, 1e9, 1e9, 1,
+        )
+        # oracle: separate extract + md + pack + project
+        patches = extract_patches(jnp.asarray(data), starts, 16, 16)
+        u, dec, _ = single_block_md_batched(patches, keys, 4, 4, 2, 1e9, 1e9)
+        acc0 = jnp.zeros((grid.n_blocks, 256, 4))
+        c0 = jnp.zeros((grid.n_blocks,), jnp.int32)
+        acc_ref, counts_ref = pack_components(u, dec, acc0, c0, 1)
+        v_ref = temporal_projector_batched(acc_ref, flatten_fov(patches))
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_ref))
+        np.testing.assert_allclose(np.asarray(v_fit), np.asarray(v_ref), atol=1e-3)
+
+    def test_window0_t_used_crops_time(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from localmd_tpu.engine import window0_chunk_step
+
+        data = rng.standard_normal((24, 24, 130)).astype(np.float32)
+        grid_starts = jnp.asarray([[0, 0], [0, 12], [12, 0], [12, 12]])
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        # t_used=120 must equal running on a pre-cropped movie
+        a1, c1, v1 = window0_chunk_step(
+            jnp.asarray(data), grid_starts, keys, 12, 12, 3, 4, 2, 1e9, 1e9, 1,
+            t_used=120,
+        )
+        a2, c2, v2 = window0_chunk_step(
+            jnp.asarray(data[:, :, :120]), grid_starts, keys, 12, 12, 3, 4, 2,
+            1e9, 1e9, 1,
+        )
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+    def test_windowed_early_stop_when_full(self, rng):
+        # max_rank small so window 1 fills every block; later windows skipped
+        blocks = low_rank_blocks(rng, n=2, rank=3, t=160)
+        res = windowed_pmd_batched(
+            jnp.asarray(blocks), jax.random.PRNGKey(9), 40, 2, 1e9, 1e9, 1, 4, 2,
+        )
+        assert (np.asarray(res.counts) == 2).all()

@@ -69,3 +69,20 @@ class TestDatasetProtocol:
         np.save(path, movie)
         ds = NpyArray(path)
         np.testing.assert_array_equal(ds[2:4], movie[2:4])
+
+
+class TestMultiStripTiff:
+    def test_multistrip_roundtrip(self, tmp_path, rng):
+        movie = (rng.random((5, 33, 21)) * 1000).astype(np.uint16)
+        path = str(tmp_path / "ms.tif")
+        write_tiff(path, movie, rows_per_strip=8)  # 5 strips per page
+        reader = TiffReader(path)
+        assert len(reader.pages[0].strip_offsets) == 5
+        np.testing.assert_array_equal(reader.read_frames(range(5)), movie)
+
+    def test_multistrip_via_tiff_array(self, tmp_path, rng):
+        movie = (rng.random((4, 16, 10)) * 100).astype(np.uint16)
+        path = str(tmp_path / "ms2.tif")
+        write_tiff(path, movie, rows_per_strip=7)
+        arr = TiffArray(path)
+        np.testing.assert_allclose(arr[[0, 3]], movie[[0, 3]].astype(np.float32))
