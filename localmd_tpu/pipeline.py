@@ -99,6 +99,7 @@ def localmd_decomposition(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     matmul_precision: Optional[str] = None,
+    profile_dir: Optional[str] = None,
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -117,6 +118,28 @@ def localmd_decomposition(
     matmuls decompose into multiple bf16 MXU passes, so "bfloat16" trades
     ~1e-3 relative accuracy for up to ~3-6x matmul throughput.
     """
+    if profile_dir is not None:
+        # capture a jax profiler trace of the whole pipeline (viewable in
+        # TensorBoard / Perfetto). The reference has no profiling hooks.
+        with jax.profiler.trace(profile_dir):
+            return localmd_decomposition(
+                dataset_obj, block_sizes, frame_range,
+                max_components=max_components, background_rank=background_rank,
+                sim_conf=sim_conf, frame_batch_size=frame_batch_size,
+                dtype=dtype, num_workers=num_workers,
+                pixel_batch_size=pixel_batch_size,
+                max_consecutive_failures=max_consecutive_failures,
+                rank_prune=rank_prune, rank_prune_factor=rank_prune_factor,
+                temporal_avg_factor=temporal_avg_factor,
+                spatial_avg_factor=spatial_avg_factor, order=order,
+                window_chunks=window_chunks, compute_normalizer=compute_normalizer,
+                pixel_weighting=pixel_weighting, spatial_denoiser=spatial_denoiser,
+                temporal_denoiser=temporal_denoiser, seed=seed,
+                block_batch_size=block_batch_size, sim_iters=sim_iters,
+                final_rank_tol=final_rank_tol, mesh=mesh,
+                checkpoint_path=checkpoint_path,
+                matmul_precision=matmul_precision, profile_dir=None,
+            )
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return localmd_decomposition(

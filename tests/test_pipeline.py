@@ -307,3 +307,22 @@ class TestCheckpointWithMesh:
         first = localmd_decomposition(movie, **kw)
         second = localmd_decomposition(movie, **kw)
         np.testing.assert_allclose(second.s, first.s, rtol=1e-5)
+
+
+class TestProfiling:
+    def test_profile_dir_produces_trace(self, rng, tmp_path):
+        import os
+
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        prof = str(tmp_path / "trace")
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=10, seed=0,
+            profile_dir=prof,
+        )
+        assert pmd.rank >= 1
+        # a plugins/profile/<ts>/ directory with trace artifacts must exist
+        found = []
+        for root, dirs, files in os.walk(prof):
+            found.extend(files)
+        assert found, "no profiler artifacts written"
