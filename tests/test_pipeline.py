@@ -326,3 +326,37 @@ class TestProfiling:
         for root, dirs, files in os.walk(prof):
             found.extend(files)
         assert found, "no profiler artifacts written"
+
+
+class TestDenoisersAndWeighting:
+    def test_real_denoisers_are_applied(self, rng):
+        import jax.numpy as jnp
+
+        movie = make_low_rank_movie(3, (300, 24, 24), rng, noise=0.02)
+
+        def temporal_denoiser(traces):  # (r, t) light smoothing
+            return (traces + jnp.roll(traces, 1, axis=-1)
+                    + jnp.roll(traces, -1, axis=-1)) / 3.0
+
+        def spatial_denoiser(frames):  # (r, b1, b2) light smoothing
+            return (frames + jnp.roll(frames, 1, 1) + jnp.roll(frames, -1, 1)) / 3.0
+
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=300, max_components=6,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+            spatial_denoiser=spatial_denoiser, temporal_denoiser=temporal_denoiser,
+        )
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 0.05, rel
+
+    def test_nonuniform_pixel_weighting(self, rng):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        w = (0.5 + rng.random((24, 24))).astype(np.float32)
+        pmd = localmd_decomposition(
+            movie, (12, 12), frame_range=300, max_components=6,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+            pixel_weighting=w,
+        )
+        # weighting shapes the basis fit only; reconstruction is unweighted
+        rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
+        assert rel < 0.05, rel
