@@ -252,48 +252,40 @@ def fused_v_projection(raw2d: Array, a_cols: Array, c: Array) -> Array:
 # Fused blocked reconstruction: movie tile = overlap-add of U_b @ V_b
 # ---------------------------------------------------------------------------
 
-def _recon_kernel(b1, b2, w1, w2, d1, d2, starts_ref, panels_ref,
-                  temporal_ref, zeros_ref, out_ref, scratch_ref, sem_ref):
-    """Sequential grid over blocks: compute the block's (b1, b2, f) panel
-    product in VMEM and read-modify-write its rectangle of the HBM output
-    (overlap-add; TPU grid steps execute sequentially, so no races).
+def _recon_kernel(starts_ref, panels_ref, temporal_ref, zeros_ref,
+                  out_ref, scratch_ref, sem_ref):
+    """Sequential grid over blocks: compute the block's window-shaped panel
+    product in VMEM and read-modify-write its 8-ALIGNED window of the HBM
+    output (overlap-add; TPU grid steps execute sequentially, so no races).
 
-    Unaligned rectangle DMAs fault the TPU worker, so the kernel moves a
-    WIDENED 8-aligned window (w1, w2, f) containing the block rectangle and
-    places the contribution at the correct in-window offset.
+    Panels are pre-scattered into window-local positions outside the kernel
+    (Mosaic can neither prove alignment of dynamic in-VMEM offsets nor DMA
+    unaligned rectangles — the latter faults the worker), so the kernel only
+    ever adds full windows at aligned offsets.
 
-    starts_ref: (N, 2) scalar-prefetched block offsets.
-    panels_ref: (1, p, S) VMEM — C-ORDER local pixel rows.
+    starts_ref: (N, 2) scalar-prefetched ALIGNED window origins.
+    panels_ref: (1, w1*w2, S) VMEM — window-local C-order pixel rows.
     temporal_ref: (1, S, f) VMEM.
-    zeros_ref/out_ref: (d1, d2, f) HBM, aliased (zeros in, result out).
+    zeros_ref/out_ref: (d1p, d2p, f) HBM, aliased (zeros in, result out).
+    scratch_ref: (w1, w2, f) VMEM window buffer.
     """
     del zeros_ref  # aliased with out_ref; only referenced to keep it live
     n = pl.program_id(0)
-    k = starts_ref[n, 0]
-    j = starts_ref[n, 1]
-    f = temporal_ref.shape[-1]
-
-    # aligned window origin (clamped so the window stays inside the FOV)
-    k0 = jnp.minimum((k // 8) * 8, d1 - w1)
-    j0 = jnp.minimum((j // 8) * 8, d2 - w2)
+    w1, w2, f = scratch_ref.shape
+    k0 = pl.multiple_of(starts_ref[n, 0], 8)
+    j0 = pl.multiple_of(starts_ref[n, 1], 8)
 
     contrib = jnp.dot(
         panels_ref[0], temporal_ref[0], preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                                     # (p, f)
-    rect = contrib.reshape(b1, b2, f)
+    )                                                     # (w1*w2, f)
 
     load = pltpu.make_async_copy(
         out_ref.at[pl.ds(k0, w1), pl.ds(j0, w2), :], scratch_ref, sem_ref
     )
     load.start()
     load.wait()
-    # add the block at its (dynamic) in-window offset
-    o1 = k - k0
-    o2 = j - j0
-    scratch_ref[pl.ds(o1, b1), pl.ds(o2, b2), :] = (
-        scratch_ref[pl.ds(o1, b1), pl.ds(o2, b2), :] + rect
-    )
+    scratch_ref[:] = scratch_ref[:] + contrib.reshape(w1, w2, f)
     store = pltpu.make_async_copy(
         scratch_ref, out_ref.at[pl.ds(k0, w1), pl.ds(j0, w2), :], sem_ref
     )
@@ -347,11 +339,30 @@ def fused_block_reconstruct(
         )
         d1, d2 = fov_zeros.shape[0], fov_zeros.shape[1]
 
+    # aligned window origins + in-window offsets (computed with XLA ops so
+    # traced `starts` work; grid starts are static data in practice)
+    k = starts[:, 0]
+    j = starts[:, 1]
+    k0 = jnp.minimum((k // 8) * 8, d1 - w1)
+    j0 = jnp.minimum((j // 8) * 8, d2 - w2)
+    starts_aligned = jnp.stack([k0, j0], axis=1).astype(jnp.int32)
+
+    # pre-scatter panel rows into window-local C-order positions
+    ii = jnp.arange(b1, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(b2, dtype=jnp.int32)[None, :]
+    local = (
+        (ii + (k - k0)[:, None, None]) * w2 + (jj + (j - j0)[:, None, None])
+    ).reshape(n, p)                                       # (N, b1*b2)
+    panels_w = jnp.zeros((n, w1 * w2, s), panels_c.dtype)
+    panels_w = panels_w.at[
+        jnp.arange(n)[:, None], local, :
+    ].set(panels_c)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, p, s), lambda i, starts: (i, 0, 0),
+            pl.BlockSpec((1, w1 * w2, s), lambda i, starts: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, f), lambda i, starts: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -363,15 +374,14 @@ def fused_block_reconstruct(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = functools.partial(_recon_kernel, b1, b2, w1, w2, d1, d2)
     out = pl.pallas_call(
-        kernel,
+        _recon_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(fov_zeros.shape, jnp.float32),
         input_output_aliases={3: 0},  # zeros accumulator -> output
         interpret=jax.default_backend() == "cpu",
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, panels_c, temporal_blocks, fov_zeros)
+    )(starts_aligned, panels_w, temporal_blocks, fov_zeros)
     return out[:d1_orig, :d2_orig, :f_orig]
 
 

@@ -162,8 +162,14 @@ class PMDArray:
                 jnp.asarray(self._v_src),
                 precision=jax.lax.Precision.HIGHEST,
             )
-        temporal = self._combined_temporal_dev[:, jnp.asarray(frame_indices)]
-        movie = self._reconstruct_standardized(temporal)
+        # chunk the frame axis: the fused kernel's VMEM window scales with f
+        parts = []
+        for s in range(0, len(frame_indices), 512):
+            sub = jnp.asarray(frame_indices[s : s + 512])
+            parts.append(
+                self._reconstruct_standardized(self._combined_temporal_dev[:, sub])
+            )
+        movie = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
         movie = movie * jnp.asarray(self.var_img)[..., None] + jnp.asarray(
             self.mean_img
         )[..., None]
