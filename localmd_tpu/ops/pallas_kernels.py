@@ -293,6 +293,27 @@ def _recon_kernel(starts_ref, panels_ref, temporal_ref, zeros_ref,
     store.wait()
 
 
+def recon_window_geometry(
+    b1: int, b2: int, d1: int, d2: int
+) -> tuple[int, int, int, int]:
+    """DMA-window geometry for :func:`fused_block_reconstruct`.
+
+    Returns ``(w1, w2, d1p, d2p)``: the widened window extents and the padded
+    FOV dims. Invariants Mosaic needs (an unaligned sublane DMA origin faults
+    the TPU worker, so these are load-bearing, not cosmetic):
+
+    - ``w1``/``w2`` are multiples of 8 and cover a block at any offset once
+      the origin is rounded down to a multiple of 8;
+    - ``d1p``/``d2p`` are multiples of 8 and ``>= w``, so the clamped origin
+      ``min((start // 8) * 8, d_p - w)`` is itself always a multiple of 8.
+    """
+    w1 = min(((b1 + 7) // 8) * 8 + 8, ((d1 + 7) // 8) * 8)
+    w2 = min(((b2 + 7) // 8) * 8 + 8, ((d2 + 7) // 8) * 8)
+    d1p = max(((d1 + 7) // 8) * 8, w1)
+    d2p = max(((d2 + 7) // 8) * 8, w2)
+    return w1, w2, d1p, d2p
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def fused_block_reconstruct(
     panels_c: Array,
@@ -328,16 +349,11 @@ def fused_block_reconstruct(
 
     # widened 8-aligned DMA windows covering any block offset (see kernel)
     d1_orig, d2_orig = fov_zeros.shape[0], fov_zeros.shape[1]
-    d1, d2 = d1_orig, d2_orig
-    w1 = min(((b1 + 7) // 8) * 8 + 8, ((d1 + 7) // 8) * 8)
-    w2 = min(((b2 + 7) // 8) * 8 + 8, ((d2 + 7) // 8) * 8)
-    if w1 > d1 or w2 > d2:
-        # pad the FOV so the aligned window always fits
+    w1, w2, d1, d2 = recon_window_geometry(b1, b2, d1_orig, d2_orig)
+    if d1 != d1_orig or d2 != d2_orig:
         fov_zeros = jnp.pad(
-            fov_zeros, ((0, w1 - d1 if w1 > d1 else 0),
-                        (0, w2 - d2 if w2 > d2 else 0), (0, 0))
+            fov_zeros, ((0, d1 - d1_orig), (0, d2 - d2_orig), (0, 0))
         )
-        d1, d2 = fov_zeros.shape[0], fov_zeros.shape[1]
 
     # aligned window origins + in-window offsets (computed with XLA ops so
     # traced `starts` work; grid starts are static data in practice)
@@ -366,9 +382,9 @@ def fused_block_reconstruct(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, f), lambda i, starts: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((w1, w2, f), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -148,3 +148,52 @@ class TestFusedBlockReconstruct:
         )
         assert out.shape == (d1, d2, f)
         np.testing.assert_allclose(np.asarray(out), expected_img, atol=1e-4)
+
+    def test_window_geometry_origins_always_aligned(self):
+        # TPU-geometry regression: every clamped DMA origin the kernel can
+        # compute must be a multiple of 8, for ANY (block, FOV) combination —
+        # unaligned sublane origins fault the real TPU worker, which CPU
+        # interpret mode cannot detect. The clamp is
+        # min((start // 8) * 8, d_pad - w), so d_pad - w must be 8-aligned
+        # and the window must still cover a block at any clamped origin.
+        from localmd_tpu.ops.pallas_kernels import recon_window_geometry
+
+        for b in (8, 10, 16, 20, 28, 32, 40):
+            for d in (b, b + 1, 52, 60, 100, 500, 512, 1023):
+                if d < b:
+                    continue
+                w1, w2, d1p, d2p = recon_window_geometry(b, b, d, d)
+                assert w1 % 8 == 0 and d1p % 8 == 0
+                assert (d1p - w1) % 8 == 0, (b, d, w1, d1p)
+                assert d1p >= d and d1p >= w1
+                for start in range(0, d - b + 1):
+                    k0 = min((start // 8) * 8, d1p - w1)
+                    assert k0 % 8 == 0, (b, d, start, k0)
+                    assert k0 <= start and k0 + w1 >= start + b, (b, d, start)
+
+    def test_fov_where_clamp_was_unaligned(self, rng):
+        # 100x100 FOV with 32x32 blocks: old clamp gave d - w = 100 - 48 = 52
+        # (8-unaligned) for tail blocks; padded FOV must fix it.
+        import jax.numpy as jnp
+        from localmd_tpu.ops.pallas_kernels import (
+            fused_block_reconstruct,
+            panels_f_to_c,
+        )
+        from localmd_tpu.ops.tiling import BlockGrid, unflatten_fov
+
+        d1, d2, f, S = 100, 100, 4, 2
+        grid = BlockGrid(d1, d2, (32, 32))
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, S)).astype(np.float32)
+        temporal = rng.standard_normal((n, S, f)).astype(np.float32)
+        expected = np.zeros((d1 * d2, f), np.float32)
+        for b in range(n):
+            expected[grid.rows[b]] += panels[b] @ temporal[b]
+        expected_img = np.asarray(unflatten_fov(jnp.asarray(expected), d1, d2))
+        panels_c = panels_f_to_c(jnp.asarray(panels), 32, 32)
+        out = fused_block_reconstruct(
+            panels_c, jnp.asarray(temporal), jnp.asarray(grid.starts),
+            jnp.zeros((d1, d2, f), jnp.float32), 32, 32,
+        )
+        assert out.shape == (d1, d2, f)
+        np.testing.assert_allclose(np.asarray(out), expected_img, atol=1e-4)
