@@ -25,7 +25,7 @@ All pixel flattening is F-order via :mod:`localmd_tpu.ops.tiling` helpers.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as functools_lru_cache, partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -328,6 +328,134 @@ class WindowedPMDResult(NamedTuple):
     temporal: Array   # (n, max_rank, t) projection of full block onto basis
 
 
+def _windowed_loop_impl(
+    patches: Array,
+    keys_all: Array,
+    spatial_threshold: Array,
+    temporal_threshold: Array,
+    *,
+    n_windows: int,
+    window_length: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    max_consecutive_failures: int,
+    spatial_denoiser: Callable,
+    temporal_denoiser: Callable,
+    axis_name: Optional[str],
+) -> Tuple[Array, Array, Array]:
+    """The full windowed decomposition as ONE traced program.
+
+    Window 0 runs the two-stage kernel; subsequent windows run inside a
+    ``lax.while_loop`` whose condition is the device-side "every block full"
+    check (the round-1 implementation pulled ``counts`` to host every window —
+    one tunnel round-trip per window). Blocks still holding zero components
+    re-run the full kernel via ``lax.cond`` (reference decomposition.py:
+    476-488), so the fallback costs nothing when no block needs it.
+
+    With ``axis_name`` (shard_map over the block axis), the early-stop and
+    zero-count predicates are ``pmin``'d across shards so every device takes
+    the same branch; everything else is pure block data parallelism.
+    """
+    n, b1, b2, t = patches.shape
+    p = b1 * b2
+    acc = jnp.zeros((n, p, max_rank), dtype=patches.dtype)
+    counts = jnp.zeros((n,), dtype=jnp.int32)
+
+    win0 = jax.lax.dynamic_slice_in_dim(patches, 0, window_length, axis=3)
+    acc, counts = _md_pack_step(
+        win0, keys_all[0], acc, counts, max_rank, temporal_avg_factor,
+        spatial_avg_factor, spatial_threshold, temporal_threshold,
+        max_consecutive_failures, spatial_denoiser, temporal_denoiser,
+    )
+
+    def _global_min(c):
+        m = jnp.min(c)
+        if axis_name is not None:
+            m = jax.lax.pmin(m, axis_name)
+        return m
+
+    def cond_fn(state):
+        w, _acc, counts = state
+        return (w < n_windows) & (_global_min(counts) < max_rank)
+
+    def body_fn(state):
+        w, acc, counts = state
+        start = jnp.minimum(w * window_length, t - window_length)  # tail snap
+        window = jax.lax.dynamic_slice_in_dim(patches, start, window_length, axis=3)
+        keys = keys_all[w]
+        u, dec, _ = single_residual_block_md_batched(
+            window, acc, keys, max_rank, temporal_avg_factor,
+            spatial_threshold, temporal_threshold,
+        )
+
+        def _with_fallback(args):
+            u_r, dec_r = args
+            u_f, dec_f, _ = single_block_md_batched(
+                window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
+                spatial_threshold, temporal_threshold,
+                spatial_denoiser, temporal_denoiser,
+            )
+            is_zero = (counts == 0)[:, None]
+            return (
+                jnp.where(is_zero[..., None], u_f, u_r),
+                jnp.where(is_zero, dec_f, dec_r),
+            )
+
+        u, dec = jax.lax.cond(
+            _global_min(counts) == 0, _with_fallback, lambda a: a, (u, dec)
+        )
+        acc, counts = pack_components(
+            u, dec, acc, counts, max_consecutive_failures
+        )
+        return (w + 1, acc, counts)
+
+    if n_windows > 1:
+        _, acc, counts = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.int32(1), acc, counts)
+        )
+    temporal = temporal_projector_batched(acc, flatten_fov(patches))
+    return acc, counts, temporal
+
+
+@functools_lru_cache(maxsize=None)
+def _windowed_loop_jit(
+    n_windows: int,
+    window_length: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    max_consecutive_failures: int,
+    spatial_denoiser: Callable,
+    temporal_denoiser: Callable,
+):
+    return jax.jit(
+        partial(
+            _windowed_loop_impl,
+            n_windows=n_windows,
+            window_length=window_length,
+            max_rank=max_rank,
+            temporal_avg_factor=temporal_avg_factor,
+            spatial_avg_factor=spatial_avg_factor,
+            max_consecutive_failures=max_consecutive_failures,
+            spatial_denoiser=spatial_denoiser,
+            temporal_denoiser=temporal_denoiser,
+            axis_name=None,
+        )
+    )
+
+
+def window_keys(key: Array, n_windows: int, n_blocks: int) -> Array:
+    """(n_windows, n_blocks, 2) per-(window, block) PRNG keys, split in the
+    same sequence the round-1 host loop used (window w's sub-key is the w-th
+    sequential split), so results are reproducible across implementations."""
+    keys = []
+    for _ in range(n_windows):
+        key, sub = jax.random.split(key)
+        keys.append(jax.random.split(sub, n_blocks))
+    return jnp.stack(keys, axis=0)
+
+
 def windowed_pmd_batched(
     blocks: Array,
     key: Array,
@@ -340,6 +468,7 @@ def windowed_pmd_batched(
     spatial_avg_factor: int,
     spatial_denoiser: Callable = identity,
     temporal_denoiser: Callable = identity,
+    mesh=None,
 ) -> WindowedPMDResult:
     """Windowed blockwise PMD over ALL blocks simultaneously.
 
@@ -348,43 +477,43 @@ def windowed_pmd_batched(
     first window — or any block still holding zero components — runs the full
     two-stage decomposition; later windows extract residual components against
     the accumulated basis; stop early once every block is full.
+
+    The whole loop is one compiled program (see ``_windowed_loop_impl``).
+    With ``mesh`` (1-D jax.sharding.Mesh), the block axis is shard_map'd over
+    the mesh; ``n`` must be divisible by the mesh size.
     """
     n, b1, b2, t = blocks.shape
-    p = b1 * b2
     window_length = min(window_length, t)
-    start_points = list(range(0, t, window_length))
-    if start_points and start_points[-1] + window_length > t:
-        start_points[-1] = t - window_length
+    # Round down to a multiple of the binning factor: _bin_consecutive
+    # reshapes (t // f, f), and an indivisible window would error deep in jit.
+    window_length = max(
+        temporal_avg_factor,
+        (window_length // temporal_avg_factor) * temporal_avg_factor,
+    )
+    n_windows = len(range(0, t, window_length))
+    keys_all = window_keys(key, n_windows, n)
+    sthr = jnp.asarray(spatial_threshold, jnp.float32)
+    tthr = jnp.asarray(temporal_threshold, jnp.float32)
 
-    acc = jnp.zeros((n, p, max_rank), dtype=blocks.dtype)
-    counts = jnp.zeros((n,), dtype=jnp.int32)
+    if mesh is not None:
+        from localmd_tpu.parallel.sharded import sharded_windowed_pmd
 
-    for w_idx, start in enumerate(start_points):
-        window = jax.lax.dynamic_slice_in_dim(blocks, start, window_length, axis=3)
-        key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, n)
-
-        if w_idx == 0:
-            acc, counts = _md_pack_step(
-                window, keys, acc, counts, max_rank, temporal_avg_factor,
-                spatial_avg_factor, spatial_threshold, temporal_threshold,
-                max_consecutive_failures, spatial_denoiser, temporal_denoiser,
-            )
-        else:
-            counts_host = np.asarray(counts)
-            if int(counts_host.min()) == int(counts_host.max()) == max_rank:
-                break  # every block full
-            # Blocks still holding zero components re-run the full two-stage
-            # kernel inside the same program (reference decomposition.py:
-            # 476-488 `k == 0 or component_counter == 0` branch).
-            acc, counts = _residual_pack_step(
-                window, keys, acc, counts, max_rank, temporal_avg_factor,
-                spatial_avg_factor, spatial_threshold, temporal_threshold,
-                max_consecutive_failures, bool((counts_host == 0).any()),
-                spatial_denoiser, temporal_denoiser,
-            )
-
-    temporal = temporal_projector_batched(acc, flatten_fov(blocks))
+        acc, counts, temporal = sharded_windowed_pmd(
+            mesh, blocks, keys_all, sthr, tthr,
+            n_windows=n_windows, window_length=window_length,
+            max_rank=max_rank, temporal_avg_factor=temporal_avg_factor,
+            spatial_avg_factor=spatial_avg_factor,
+            max_consecutive_failures=max_consecutive_failures,
+            spatial_denoiser=spatial_denoiser,
+            temporal_denoiser=temporal_denoiser,
+        )
+    else:
+        fn = _windowed_loop_jit(
+            n_windows, window_length, max_rank, temporal_avg_factor,
+            spatial_avg_factor, max_consecutive_failures,
+            spatial_denoiser, temporal_denoiser,
+        )
+        acc, counts, temporal = fn(blocks, keys_all, sthr, tthr)
     return WindowedPMDResult(spatial=acc, counts=counts, temporal=temporal)
 
 

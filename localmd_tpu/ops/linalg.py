@@ -18,14 +18,38 @@ Design notes (vs the reference implementation):
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import Array
 
 DEFAULT_OVERSAMPLES = 10
+
+# Test hook: when set, truncated_random_svd draws its Gaussian sketch from
+# this callable (shape -> array) instead of the per-call PRNG key. Lets
+# parity tests inject the SAME sketch into this implementation and the
+# reference so the randomized factors become deterministic and comparable.
+_SKETCH_OVERRIDE: Optional[Callable[[Tuple[int, ...]], Array]] = None
+
+
+@contextlib.contextmanager
+def sketch_override(fn: Callable[[Tuple[int, ...]], Array]):
+    """Context manager replacing the rSVD Gaussian sketch with ``fn(shape)``.
+
+    The override is read at trace time inside jitted callers, so jit caches
+    are cleared on entry and exit to force retracing.
+    """
+    global _SKETCH_OVERRIDE
+    _SKETCH_OVERRIDE = fn
+    jax.clear_caches()
+    try:
+        yield
+    finally:
+        _SKETCH_OVERRIDE = None
+        jax.clear_caches()
 
 
 def _mm(a: Array, b: Array) -> Array:
@@ -140,7 +164,12 @@ def truncated_random_svd(
     t = matrix.shape[-1]
     k = rank + num_oversamples
     batch_shape = matrix.shape[:-2]
-    sketch = jax.random.normal(key, batch_shape + (t, k), dtype=matrix.dtype)
+    if _SKETCH_OVERRIDE is not None:
+        sketch = jnp.broadcast_to(
+            _SKETCH_OVERRIDE((t, k)).astype(matrix.dtype), batch_shape + (t, k)
+        )
+    else:
+        sketch = jax.random.normal(key, batch_shape + (t, k), dtype=matrix.dtype)
     projected = _mm(matrix, sketch)                      # (..., d, k)
     q = cholesky_qr2(projected)                          # (..., d, k)
     for _ in range(power_iters):

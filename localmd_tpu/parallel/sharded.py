@@ -86,6 +86,57 @@ def sharded_window0_chunk_step(
     )
 
 
+def sharded_windowed_pmd(
+    mesh: Mesh,
+    patches: Array,
+    keys_all: Array,
+    spatial_threshold: Array,
+    temporal_threshold: Array,
+    *,
+    n_windows: int,
+    window_length: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    max_consecutive_failures: int,
+    spatial_denoiser=None,
+    temporal_denoiser=None,
+) -> Tuple[Array, Array, Array]:
+    """The multi-window incremental-basis loop with the block axis sharded.
+
+    Each chip runs the whole window while_loop on its own patch shard; the
+    early-stop ("every block full") and zero-count-fallback predicates are
+    ``pmin``'d across the mesh inside the loop so all chips stay in lockstep.
+    Replaces the reference's serial host block loop over ``windowed_pmd``
+    (decomposition.py:410-525) for the multi-window (voltage) configuration.
+
+    ``patches``: (n, b1, b2, t), n divisible by the mesh size.
+    ``keys_all``: (n_windows, n, 2) per-(window, block) keys.
+    """
+    from localmd_tpu.engine import _windowed_loop_impl, identity
+
+    local = partial(
+        _windowed_loop_impl,
+        n_windows=n_windows,
+        window_length=window_length,
+        max_rank=max_rank,
+        temporal_avg_factor=temporal_avg_factor,
+        spatial_avg_factor=spatial_avg_factor,
+        max_consecutive_failures=max_consecutive_failures,
+        spatial_denoiser=spatial_denoiser if spatial_denoiser is not None else identity,
+        temporal_denoiser=temporal_denoiser if temporal_denoiser is not None else identity,
+        axis_name=BLOCK_AXIS,
+    )
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(None, BLOCK_AXIS), P(), P()),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return f(patches, keys_all, spatial_threshold, temporal_threshold)
+
+
 def sharded_block_decomposition(
     mesh: Mesh,
     local_fn: Callable[[Array, Array], Tuple[Array, Array, Array]],

@@ -372,6 +372,9 @@ def localmd_decomposition(
                 )
             result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
         else:
+            # Multi-window incremental-basis path: one compiled program per
+            # chunk (device-side early-stop); with a mesh the block axis is
+            # shard_map'd (see parallel.sharded.sharded_windowed_pmd).
             patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
             result = windowed_pmd_batched(
                 patch_batch,
@@ -385,6 +388,7 @@ def localmd_decomposition(
                 spatial_avg_factor,
                 sden,
                 tden,
+                mesh=mesh,
             )
         sl = slice(0, len(idx))
         panels_chunks.append(result.spatial[sl])

@@ -91,6 +91,57 @@ class TestShardedPhases:
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2)
 
 
+class TestShardedWindowedPMD:
+    def test_multi_window_matches_single_device(self, rng):
+        # Voltage-style config: multiple temporal windows, incremental basis.
+        from localmd_tpu.engine import windowed_pmd_batched
+
+        mesh = make_mesh()
+        n_dev = len(mesh.devices)
+        n_blocks = 2 * n_dev
+        b1 = b2 = 12
+        t = 240
+        # Low-rank-per-window signal so windows genuinely grow the basis.
+        u_a = rng.standard_normal((n_blocks, b1 * b2, 2)).astype(np.float32)
+        v_a = rng.standard_normal((n_blocks, 2, t)).astype(np.float32)
+        blocks = (
+            np.einsum("nps,nst->npt", u_a, v_a).reshape(n_blocks, b1, b2, t)
+            + 0.05 * rng.standard_normal((n_blocks, b1, b2, t))
+        ).astype(np.float32)
+
+        kwargs = dict(
+            window_length=80, max_rank=5,
+            spatial_threshold=1e9, temporal_threshold=1e9,
+            max_consecutive_failures=1,
+            temporal_avg_factor=4, spatial_avg_factor=2,
+        )
+        key = jax.random.PRNGKey(3)
+        res_1 = windowed_pmd_batched(jnp.asarray(blocks), key, **kwargs)
+        res_m = windowed_pmd_batched(jnp.asarray(blocks), key, **kwargs, mesh=mesh)
+        np.testing.assert_array_equal(
+            np.asarray(res_1.counts), np.asarray(res_m.counts)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_1.spatial), np.asarray(res_m.spatial), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_1.temporal), np.asarray(res_m.temporal), atol=1e-3
+        )
+
+    def test_indivisible_window_length_rounds_down(self, rng):
+        # window_length=63 with temporal_avg_factor=4 used to crash in the
+        # _bin_consecutive reshape; it must round to 60 and run.
+        from localmd_tpu.engine import windowed_pmd_batched
+
+        blocks = rng.standard_normal((2, 12, 12, 130)).astype(np.float32)
+        res = windowed_pmd_batched(
+            jnp.asarray(blocks), jax.random.PRNGKey(0), 63, 3,
+            1e9, 1e9, 1, 4, 2,
+        )
+        assert res.spatial.shape == (2, 144, 3)
+        assert (np.asarray(res.counts) > 0).all()
+
+
 class TestMeshPipeline:
     def test_end_to_end_with_mesh_matches_quality(self):
         import sys, os

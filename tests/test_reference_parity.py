@@ -141,6 +141,102 @@ class TestEndToEndParity:
         assert cross < 0.75 * max(err_ours, err_theirs), (cross, err_ours, err_theirs)
 
 
+class TestSketchInjectionParity:
+    """Deterministic parity: both implementations consume the SAME Gaussian
+    sketch (the only randomness that affects the factors once thresholds and
+    init frames are pinned), so the factorizations must agree numerically —
+    the BASELINE ≤1e-5 relative Frobenius bar, not a statistical bound."""
+
+    @staticmethod
+    def _fixed_sketch(shape):
+        import jax
+
+        return jax.random.normal(jax.random.PRNGKey(1234), shape)
+
+    def test_full_pipeline_frobenius_1e5(
+        self, reference_localmd, monkeypatch
+    ):
+        import jax
+        import jax.numpy as jnp
+        import localmd.decomposition as ref_dec
+        from localmd.pmd_loader import PMDLoader as RefLoader
+
+        import localmd_tpu.pipeline as our_pipeline
+        from localmd_tpu import localmd_decomposition
+        from localmd_tpu.ops.linalg import sketch_override
+
+        fixed = self._fixed_sketch
+
+        # A movie whose per-block signal rank equals max_components, so the
+        # kept subspaces are spectrally well-separated from the noise floor
+        # (near-degenerate noise directions are NOT comparable across
+        # different orthogonalization algorithms).
+        rng = np.random.default_rng(55)
+        T, d1, d2, R = 500, 40, 36, 4
+        spatial = rng.random((d1 * d2, R)).astype(np.float32)
+        temporal = rng.standard_normal((R, T)).astype(np.float32)
+        temporal *= np.asarray([8.0, 6.0, 4.5, 3.0], np.float32)[:, None]
+        movie = (spatial @ temporal).T.reshape(T, d1, d2)
+        movie += 1e-4 * rng.standard_normal(movie.shape).astype(np.float32)
+        movie = movie.astype(np.float32)
+
+        # -- reference with injected sketches / pinned thresholds ----------
+        def ref_trsvd_injected(input_matrix, key, rank_placeholder):
+            rank = rank_placeholder.shape[0]
+            t = input_matrix.shape[1]
+            random_data = fixed((t, rank + 10))
+            projected = jnp.matmul(input_matrix, random_data)
+            q, _ = jnp.linalg.qr(projected)
+            b = jnp.matmul(q.T, input_matrix)
+            u, s, v = jnp.linalg.svd(b, full_matrices=False)
+            u_final = q.dot(u)
+            return u_final[:, :rank], s[:rank], v[:rank]
+
+        def ref_background_injected(self, n_samples=1000):
+            # all frames in sorted order (our loader sorts its sample; with
+            # T <= 1000 both sides then see identical background input)
+            frames = list(range(self.shape[0]))
+            crop = self.temporal_crop_standardized(frames)
+            mat = crop.reshape((-1, crop.shape[-1]), order=self.order)
+            sk = np.asarray(fixed((mat.shape[1], self.background_rank + 10)))
+            q, _ = np.linalg.qr(mat @ sk)
+            u, _, _ = np.linalg.svd(q.T @ mat, full_matrices=False)
+            return (q @ u)[:, : self.background_rank].astype(self.dtype)
+
+        monkeypatch.setattr(ref_dec, "truncated_random_svd", ref_trsvd_injected)
+        monkeypatch.setattr(
+            ref_dec, "threshold_heuristic", lambda *a, **k: (1e9, 1e9)
+        )
+        monkeypatch.setattr(
+            RefLoader, "_calculate_background_filter", ref_background_injected
+        )
+        jax.clear_caches()  # reference kernels may be traced with the originals
+        np.random.seed(0)
+        theirs = reference_localmd.localmd_decomposition(
+            movie, (16, 16), frame_range=T, max_components=R,
+            background_rank=2, temporal_avg_factor=4,
+            compute_normalizer=False, num_workers=0,
+        )
+        recon_theirs = theirs[:, :, :]
+
+        # -- ours with the same sketches / thresholds -----------------------
+        monkeypatch.setattr(
+            our_pipeline, "threshold_heuristic", lambda *a, **k: (1e9, 1e9)
+        )
+        with sketch_override(fixed):
+            ours = localmd_decomposition(
+                movie, (16, 16), frame_range=T, max_components=R,
+                background_rank=2, temporal_avg_factor=4,
+                compute_normalizer=False, seed=0, final_rank_tol=0.0,
+            )
+            recon_ours = ours[:, :, :]
+
+        diff = np.linalg.norm(recon_ours - recon_theirs) / np.linalg.norm(
+            recon_theirs
+        )
+        assert diff <= 1e-5, diff
+
+
 class TestSerializationCrossCompat:
     def test_reference_loads_our_npz(self, reference_localmd, test_movie, tmp_path):
         """A reference user must be able to consume our .npz via their
