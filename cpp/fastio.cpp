@@ -158,4 +158,86 @@ int64_t fastio_prefetch_wait(int64_t ticket) {
     return fut.get();
 }
 
+// TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first bit packing, 9-bit
+// initial code width, ClearCode=256, EOI=257, "early change" width bumps at
+// table sizes 511/1023/2047. Returns bytes written to dst, or -EINVAL on a
+// malformed stream / -ENOSPC if dst_cap is too small. Decoding a compressed
+// TIFF strip in Python is ~100x slower; this keeps compressed movie reads
+// IO-bound rather than decode-bound.
+int64_t fastio_lzw_decode(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                          int64_t dst_cap) {
+    constexpr int kClear = 256, kEoi = 257, kMaxCodes = 4096;
+    // Each table entry is (prefix code, suffix byte); strings are emitted by
+    // walking prefix links backwards through a small stack.
+    static thread_local int16_t prefix_tab[kMaxCodes];
+    static thread_local uint8_t suffix_tab[kMaxCodes];
+    uint8_t stack[kMaxCodes];
+
+    int width = 9;
+    int next_code = 258;
+    uint64_t bitbuf = 0;
+    int bitcnt = 0;
+    int64_t si = 0, di = 0;
+    int prev = -1;
+    uint8_t first_byte = 0;
+
+    auto reset = [&]() {
+        width = 9;
+        next_code = 258;
+        prev = -1;
+    };
+
+    for (;;) {
+        while (bitcnt < width) {
+            if (si >= src_len) return di;  // stream ends without EOI: accept
+            bitbuf = (bitbuf << 8) | src[si++];
+            bitcnt += 8;
+        }
+        int code = (int)((bitbuf >> (bitcnt - width)) & ((1u << width) - 1));
+        bitcnt -= width;
+
+        if (code == kEoi) return di;
+        if (code == kClear) {
+            reset();
+            continue;
+        }
+        if (prev < 0) {
+            // First code after a clear must be a literal.
+            if (code >= 256) return -EINVAL;
+            if (di >= dst_cap) return -ENOSPC;
+            dst[di++] = (uint8_t)code;
+            prev = code;
+            first_byte = (uint8_t)code;
+            continue;
+        }
+
+        int emit = code;
+        int sp = 0;
+        if (code >= next_code) {
+            // KwKwK case: emit previous string + its first byte.
+            if (code != next_code) return -EINVAL;
+            stack[sp++] = first_byte;
+            emit = prev;
+        }
+        while (emit >= 256) {
+            if (sp >= kMaxCodes || emit >= next_code) return -EINVAL;
+            stack[sp++] = suffix_tab[emit];
+            emit = prefix_tab[emit];
+        }
+        first_byte = (uint8_t)emit;
+        stack[sp++] = first_byte;
+        if (di + sp > dst_cap) return -ENOSPC;
+        while (sp > 0) dst[di++] = stack[--sp];
+
+        if (next_code < kMaxCodes) {
+            prefix_tab[next_code] = (int16_t)prev;
+            suffix_tab[next_code] = first_byte;
+            ++next_code;
+            // TIFF early change: widen one code before the table fills.
+            if (next_code == (1 << width) - 1 && width < 12) ++width;
+        }
+        prev = code;
+    }
+}
+
 }  // extern "C"

@@ -135,6 +135,14 @@ class TiffArray(PMDDataset):
         self.filename = filename
         self._reader = TiffReader(filename)
 
+    def set_io_threads(self, n: int) -> None:
+        """Map the pipeline's ``num_workers`` onto the native reader's thread
+        count (the reference maps it onto torch DataLoader processes)."""
+        reader = getattr(self._reader, "_fast_reader", None)
+        if reader is not None:
+            reader.n_threads = max(1, int(n))
+        self._reader._io_threads = max(1, int(n))
+
     @property
     def dtype(self) -> np.dtype:
         # Reference TiffArray presents data as float32 (reference dataset.py:143-148)

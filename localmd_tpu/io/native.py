@@ -24,8 +24,13 @@ _SRC = os.path.join(_REPO_ROOT, "cpp", "fastio.cpp")
 _SO = os.path.join(_REPO_ROOT, "cpp", "libfastio.so")
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+def _build(force: bool = False) -> Optional[str]:
+    if (
+        not force
+        and os.path.exists(_SO)
+        and os.path.exists(_SRC)
+        and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
         return _SO
     if not os.path.exists(_SRC):
         return None
@@ -51,8 +56,16 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(so)
         except OSError:
-            _LIB_FAILED = True
-            return None
+            # A stale or foreign-arch binary (e.g. copied between machines)
+            # can exist on disk; rebuild from source once before giving up.
+            so = _build(force=True)
+            try:
+                lib = ctypes.CDLL(so) if so else None
+            except OSError:
+                lib = None
+            if lib is None:
+                _LIB_FAILED = True
+                return None
         i64 = ctypes.c_int64
         p64 = ctypes.POINTER(ctypes.c_int64)
         pu8 = ctypes.POINTER(ctypes.c_uint8)
@@ -66,12 +79,34 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fastio_prefetch_submit.restype = i64
         lib.fastio_prefetch_wait.argtypes = [i64]
         lib.fastio_prefetch_wait.restype = i64
+        if hasattr(lib, "fastio_lzw_decode"):
+            lib.fastio_lzw_decode.argtypes = [pu8, i64, pu8, i64]
+            lib.fastio_lzw_decode.restype = i64
         _LIB = lib
         return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def lzw_decode(data: bytes, expected_bytes: int) -> Optional[bytes]:
+    """TIFF-variant LZW decode via the native library; None if unavailable
+    (callers fall back to the pure-Python decoder in localmd_tpu.io.tiff)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fastio_lzw_decode"):
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    dst = np.empty(expected_bytes, dtype=np.uint8)
+    n = lib.fastio_lzw_decode(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(src),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        expected_bytes,
+    )
+    if n < 0:
+        raise ValueError(f"LZW decode failed (rc={n})")
+    return dst[:n].tobytes()
 
 
 class FastReader:

@@ -2,19 +2,22 @@
 
 The reference reads movies with ``tifffile`` (reference dataset.py:131-181).
 ``tifffile`` is not available in this environment, and for the streaming PMD
-pipeline we only need fast random access to *uncompressed* (or simple)
-multipage grayscale stacks — the dominant format for two-photon / widefield /
-voltage-imaging movies. This module implements that subset natively:
+pipeline we need fast random access to multipage grayscale stacks — the
+dominant format for two-photon / widefield / voltage-imaging movies. This
+module implements that subset natively:
 
 - Classic TIFF and BigTIFF, little- and big-endian.
-- Per-page strip layout (StripOffsets/StripByteCounts), contiguous planar
+- Per-page strip layout (StripOffsets/StripByteCounts) and tiled layout
+  (TileWidth/TileLength/TileOffsets/TileByteCounts), contiguous planar
   grayscale pages.
 - dtypes: uint8/16/32, int8/16/32, float32/float64 (SampleFormat tag).
-- Compression: none (1). Compressed files raise a clear error.
+- Compression: none (1), LZW (5, native C++ decoder with Python fallback),
+  Adobe/legacy Deflate (8/32946, zlib), PackBits (32773); horizontal
+  differencing predictor (tag 317, value 2).
 
-Pages are indexed once at open; frame reads are ``np.frombuffer`` slices over
-a single ``mmap``-backed buffer, so multi-worker prefetch threads can read
-without re-parsing headers.
+Pages are indexed once at open; uncompressed frame reads are
+``np.frombuffer`` slices over a single ``mmap``-backed buffer, so
+multi-worker prefetch threads can read without re-parsing headers.
 """
 
 from __future__ import annotations
@@ -22,8 +25,9 @@ from __future__ import annotations
 import mmap
 import os
 import struct
+import zlib
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -36,8 +40,21 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
+_TAG_PREDICTOR = 317
 _TAG_SAMPLE_FORMAT = 339
 _TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTE_COUNTS = 325
+
+_COMP_NONE = 1
+_COMP_LZW = 5
+_COMP_DEFLATE_ADOBE = 8
+_COMP_PACKBITS = 32773
+_COMP_DEFLATE = 32946
+_SUPPORTED_COMPRESSIONS = (
+    _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE, _COMP_PACKBITS, _COMP_DEFLATE,
+)
 
 # TIFF type id -> (struct fmt char, byte size)
 _TYPE_INFO = {
@@ -61,8 +78,133 @@ class _Page:
     width: int
     height: int
     dtype: np.dtype
-    strip_offsets: Tuple[int, ...]
+    strip_offsets: Tuple[int, ...]       # strip OR tile data segments
     strip_byte_counts: Tuple[int, ...]
+    compression: int = _COMP_NONE
+    predictor: int = 1
+    rows_per_strip: int = 0              # 0 = single strip covering the page
+    tile_width: int = 0                  # >0 = tiled layout
+    tile_length: int = 0
+
+    @property
+    def is_plain(self) -> bool:
+        """True when frames are raw contiguous samples (the mmap fast path)."""
+        return self.compression == _COMP_NONE and self.tile_width == 0
+
+
+# ---------------------------------------------------------------------------
+# Segment decoders
+# ---------------------------------------------------------------------------
+
+def _lzw_decode_py(data: bytes, expected: int) -> bytes:
+    """Pure-Python TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, 9-bit
+    start, ClearCode=256/EOI=257, early-change width bumps. Fallback for when
+    the native decoder (cpp/fastio.cpp fastio_lzw_decode) is unavailable."""
+    out = bytearray()
+    table: List[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+        prev = None
+
+    width = 9
+    next_code = 258
+    prev: Optional[bytes] = None
+    reset()
+
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == 257:  # EOI
+            return bytes(out)
+        if code == 256:  # Clear
+            reset()
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW stream: non-literal after clear")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= expected:
+            return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    try:
+        from localmd_tpu.io.native import lzw_decode
+
+        decoded = lzw_decode(data, expected)
+        if decoded is not None:
+            return decoded
+    except ImportError:  # pragma: no cover
+        pass
+    return _lzw_decode_py(data, expected)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < expected:
+        ctrl = data[pos]
+        pos += 1
+        if ctrl < 128:  # literal run of ctrl+1 bytes
+            out += data[pos : pos + ctrl + 1]
+            pos += ctrl + 1
+        elif ctrl > 128:  # replicate next byte 257-ctrl times
+            out += data[pos : pos + 1] * (257 - ctrl)
+            pos += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def _decode_segment(data: bytes, compression: int, expected: int) -> bytes:
+    if compression == _COMP_NONE:
+        return data
+    if compression == _COMP_LZW:
+        return _lzw_decode(data, expected)
+    if compression in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE):
+        return zlib.decompress(data)
+    if compression == _COMP_PACKBITS:
+        return _packbits_decode(data, expected)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """Invert horizontal differencing (predictor=2) along the last axis.
+    Integer cumsum in the sample dtype gives the required modulo wraparound."""
+    if predictor == 1:
+        return arr
+    if predictor == 2:
+        if arr.dtype.kind not in ("u", "i"):
+            raise ValueError("predictor=2 requires an integer sample type")
+        return np.cumsum(arr, axis=-1, dtype=arr.dtype)
+    raise ValueError(f"unsupported TIFF predictor {predictor}")
 
 
 class TiffReader:
@@ -147,7 +289,8 @@ class TiffReader:
                 _TAG_IMAGE_WIDTH, _TAG_IMAGE_LENGTH, _TAG_BITS_PER_SAMPLE,
                 _TAG_COMPRESSION, _TAG_STRIP_OFFSETS, _TAG_SAMPLES_PER_PIXEL,
                 _TAG_ROWS_PER_STRIP, _TAG_STRIP_BYTE_COUNTS, _TAG_SAMPLE_FORMAT,
-                _TAG_TILE_WIDTH,
+                _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
+                _TAG_TILE_OFFSETS, _TAG_TILE_BYTE_COUNTS,
             ):
                 tags[tag] = self._read_entry_values(type_id, count, bytes(payload))
         next_off_pos = base + n * entry_size
@@ -158,13 +301,11 @@ class TiffReader:
         return tags, next_ifd
 
     def _page_from_tags(self, tags) -> _Page:
-        if _TAG_TILE_WIDTH in tags:
-            raise ValueError(f"{self.filename}: tiled TIFFs are not supported")
         comp = tags.get(_TAG_COMPRESSION, (1,))[0]
-        if comp != 1:
+        if comp not in _SUPPORTED_COMPRESSIONS:
             raise ValueError(
-                f"{self.filename}: compressed TIFF (compression={comp}) not supported; "
-                "convert to uncompressed or use a RawBinaryArray/NpyArray source"
+                f"{self.filename}: TIFF compression {comp} not supported "
+                "(supported: none, LZW, Deflate, PackBits)"
             )
         spp = tags.get(_TAG_SAMPLES_PER_PIXEL, (1,))[0]
         if spp != 1:
@@ -177,12 +318,28 @@ class TiffReader:
         if kind is None:
             raise ValueError(f"{self.filename}: unsupported SampleFormat {fmt}")
         dtype = np.dtype(f"{self._bo}{kind}{bits // 8}")
+        predictor = tags.get(_TAG_PREDICTOR, (1,))[0]
+        if _TAG_TILE_WIDTH in tags:
+            return _Page(
+                width=width,
+                height=height,
+                dtype=dtype,
+                strip_offsets=tuple(tags[_TAG_TILE_OFFSETS]),
+                strip_byte_counts=tuple(tags[_TAG_TILE_BYTE_COUNTS]),
+                compression=comp,
+                predictor=predictor,
+                tile_width=tags[_TAG_TILE_WIDTH][0],
+                tile_length=tags[_TAG_TILE_LENGTH][0],
+            )
         return _Page(
             width=width,
             height=height,
             dtype=dtype,
             strip_offsets=tuple(tags[_TAG_STRIP_OFFSETS]),
             strip_byte_counts=tuple(tags[_TAG_STRIP_BYTE_COUNTS]),
+            compression=comp,
+            predictor=predictor,
+            rows_per_strip=tags.get(_TAG_ROWS_PER_STRIP, (height,))[0],
         )
 
     def _parse_all_pages(self) -> List[_Page]:
@@ -204,6 +361,8 @@ class TiffReader:
     def read_frame(self, index: int) -> np.ndarray:
         page = self.pages[index]
         n_px = page.width * page.height
+        if not page.is_plain:
+            return self._read_frame_decoded(page)
         if len(page.strip_offsets) == 1:
             off = page.strip_offsets[0]
             arr = np.frombuffer(self._buf, dtype=page.dtype, count=n_px, offset=off)
@@ -214,6 +373,50 @@ class TiffReader:
             ]
             arr = np.concatenate(parts).view(page.dtype)[:n_px]
         return arr.reshape(page.height, page.width)
+
+    def _segment_bytes(self, off: int, cnt: int) -> bytes:
+        return bytes(self._buf[off : off + cnt])
+
+    def _read_frame_decoded(self, page: _Page) -> np.ndarray:
+        """Assemble a compressed and/or tiled page: decode each strip/tile
+        segment, invert the predictor per segment row, place into the frame."""
+        itemsize = page.dtype.itemsize
+        if page.tile_width:
+            tw, tl = page.tile_width, page.tile_length
+            tiles_across = -(-page.width // tw)
+            out = np.empty((page.height, page.width), dtype=page.dtype)
+            expected = tw * tl * itemsize
+            for n, (off, cnt) in enumerate(
+                zip(page.strip_offsets, page.strip_byte_counts)
+            ):
+                raw = _decode_segment(
+                    self._segment_bytes(off, cnt), page.compression, expected
+                )
+                tile = np.frombuffer(raw, dtype=page.dtype, count=tw * tl).reshape(
+                    tl, tw
+                )
+                tile = _undo_predictor(tile, page.predictor)
+                r0 = (n // tiles_across) * tl
+                c0 = (n % tiles_across) * tw
+                h = min(tl, page.height - r0)
+                w = min(tw, page.width - c0)
+                out[r0 : r0 + h, c0 : c0 + w] = tile[:h, :w]
+            return out
+        rps = page.rows_per_strip or page.height
+        rows = []
+        remaining = page.height
+        for off, cnt in zip(page.strip_offsets, page.strip_byte_counts):
+            n_rows = min(rps, remaining)
+            remaining -= n_rows
+            expected = n_rows * page.width * itemsize
+            raw = _decode_segment(
+                self._segment_bytes(off, cnt), page.compression, expected
+            )
+            strip = np.frombuffer(
+                raw, dtype=page.dtype, count=n_rows * page.width
+            ).reshape(n_rows, page.width)
+            rows.append(_undo_predictor(strip, page.predictor))
+        return np.concatenate(rows, axis=0)
 
     def read_frames(self, indices: Sequence[int]) -> np.ndarray:
         out = np.empty((len(indices),) + self.frame_shape, dtype=self.dtype)
@@ -226,7 +429,10 @@ class TiffReader:
     def _try_native_read(self, indices: Sequence[int], out: np.ndarray) -> bool:
         """Threaded scatter read of single-strip pages via the fastio C++
         library; returns False to fall back to the mmap path."""
-        if any(len(self.pages[i].strip_offsets) != 1 for i in indices):
+        if any(
+            not self.pages[i].is_plain or len(self.pages[i].strip_offsets) != 1
+            for i in indices
+        ):
             return False
         try:
             from localmd_tpu.io.native import native_available, FastReader
@@ -234,7 +440,9 @@ class TiffReader:
             if not native_available():
                 return False
             if not hasattr(self, "_fast_reader"):
-                self._fast_reader = FastReader(self.filename)
+                self._fast_reader = FastReader(
+                    self.filename, n_threads=getattr(self, "_io_threads", 4)
+                )
             offsets = [self.pages[i].strip_offsets[0] for i in indices]
             sizes = [self.pages[i].strip_byte_counts[0] for i in indices]
             self._fast_reader.read_scatter(offsets, sizes, out)
@@ -327,3 +535,249 @@ def write_tiff(filename: str, movie: np.ndarray, rows_per_strip: int = 0) -> Non
                 f.write(struct.pack("<" + "I" * n_strips, *strip_bytes))
         for k in range(t):
             f.write(np.ascontiguousarray(movie[k]).astype(dt, copy=False).tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Compressed / tiled writer (tests + compressed export)
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (MSB-first, early change). Python-speed —
+    meant for test fixtures and occasional export, not the streaming path."""
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    width = 9
+    next_code = 258
+    emit(256, width)  # Clear
+    s = b""
+    for b in data:
+        c = s + bytes([b])
+        if c in table:
+            s = c
+            continue
+        emit(table[s], width)
+        table[c] = next_code
+        next_code += 1
+        # The decoder adds entries one code behind the encoder and bumps its
+        # width when its next_code hits (1<<w)-1 ("early change", verified
+        # against PIL-written streams); seen from the encoder that is one
+        # entry later, i.e. when next_code hits 1<<w.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # clear before the table fills
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            width = 9
+            next_code = 258
+        s = bytes([b])
+    if s:
+        emit(table[s], width)
+        # The decoder performs a table add (and possibly an early-change
+        # width bump) when it reads this final code; mirror it so EOI is
+        # emitted at the width the decoder will read it with.
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(257, width)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i
+            while j < n - 1 and data[j] != data[j + 1] and j - i < 127:
+                j += 1
+            out.append(j - i)
+            out += data[i : j + 1]
+            i = j + 1
+    return bytes(out)
+
+
+_ENCODERS = {
+    "none": (_COMP_NONE, lambda b: b),
+    "lzw": (_COMP_LZW, _lzw_encode),
+    "deflate": (_COMP_DEFLATE_ADOBE, zlib.compress),
+    "packbits": (_COMP_PACKBITS, _packbits_encode),
+}
+
+
+def _apply_predictor(seg: np.ndarray, predictor: int) -> np.ndarray:
+    if predictor == 1:
+        return seg
+    if predictor != 2:
+        raise ValueError("writer supports predictor 1 or 2")
+    if seg.dtype.kind not in ("u", "i"):
+        raise ValueError("predictor=2 requires an integer sample type")
+    diff = seg.copy()
+    diff[:, 1:] -= seg[:, :-1]
+    return diff
+
+
+def write_tiff_compressed(
+    filename: str,
+    movie: np.ndarray,
+    compression: str = "lzw",
+    rows_per_strip: int = 0,
+    predictor: int = 1,
+    tile: Optional[Tuple[int, int]] = None,
+) -> None:
+    """Write a (T, H, W) array as a compressed (and optionally tiled)
+    little-endian multipage TIFF.
+
+    ``compression``: "none" | "lzw" | "deflate" | "packbits".
+    ``predictor=2`` applies horizontal differencing before compression.
+    ``tile=(tw, tl)`` emits a tiled layout (dims must be multiples of 16 per
+    the TIFF spec) instead of strips.
+    """
+    movie = np.asarray(movie)
+    if movie.ndim != 3:
+        raise ValueError("movie must be (T, H, W)")
+    comp_id, encode = _ENCODERS[compression]
+    t, h, w = movie.shape
+    dt = movie.dtype.newbyteorder("<")
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    # Per-page compressed segments (strips or tiles).
+    pages: List[List[bytes]] = []
+    for k in range(t):
+        frame = np.ascontiguousarray(movie[k]).astype(dt, copy=False)
+        segs: List[bytes] = []
+        if tile is not None:
+            tw, tl = tile
+            if tw % 16 or tl % 16:
+                raise ValueError("TIFF tile dims must be multiples of 16")
+            for r0 in range(0, h, tl):
+                for c0 in range(0, w, tw):
+                    block = np.zeros((tl, tw), dtype=dt)
+                    hh = min(tl, h - r0)
+                    ww = min(tw, w - c0)
+                    block[:hh, :ww] = frame[r0 : r0 + hh, c0 : c0 + ww]
+                    segs.append(
+                        encode(_apply_predictor(block, predictor).tobytes())
+                    )
+        else:
+            rps = (
+                h
+                if rows_per_strip in (0, None) or rows_per_strip >= h
+                else rows_per_strip
+            )
+            for r0 in range(0, h, rps):
+                strip = frame[r0 : r0 + min(rps, h - r0)]
+                segs.append(encode(_apply_predictor(strip, predictor).tobytes()))
+        pages.append(segs)
+
+    n_segs = len(pages[0])
+    tags: List[Tuple[int, int, int]] = [  # (tag, type, value-or-late)
+        (_TAG_IMAGE_WIDTH, 4, w),
+        (_TAG_IMAGE_LENGTH, 4, h),
+        (_TAG_BITS_PER_SAMPLE, 3, bits),
+        (_TAG_COMPRESSION, 3, comp_id),
+    ]
+    n_entries = len(tags) + (3 if tile is None else 4) + 1
+    if predictor == 2:
+        n_entries += 1
+    ifd_size = 2 + n_entries * 12 + 4
+    extra_per_page = (8 * n_segs) if n_segs > 1 else 0
+
+    with open(filename, "wb") as f:
+        f.write(b"II*\x00")
+        first_ifd = 8
+        f.write(struct.pack("<I", first_ifd))
+        arrays_start = first_ifd + t * ifd_size
+        data_start = arrays_start + t * extra_per_page
+        # absolute offset of every segment
+        seg_offsets: List[List[int]] = []
+        acc = data_start
+        for segs in pages:
+            offs = []
+            for s in segs:
+                offs.append(acc)
+                acc += len(s)
+            seg_offsets.append(offs)
+
+        for k in range(t):
+            next_ifd = first_ifd + (k + 1) * ifd_size if k + 1 < t else 0
+            f.write(struct.pack("<H", n_entries))
+
+            def entry(tag, type_id, count, value):
+                f.write(struct.pack("<HHI", tag, type_id, count))
+                if type_id == 3 and count == 1:
+                    f.write(struct.pack("<HH", value, 0))
+                else:
+                    f.write(struct.pack("<I", value))
+
+            arr_off = arrays_start + k * extra_per_page
+            sizes = [len(s) for s in pages[k]]
+            off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
+            cnt_tag = (
+                _TAG_TILE_BYTE_COUNTS if tile is not None else _TAG_STRIP_BYTE_COUNTS
+            )
+            entry(_TAG_IMAGE_WIDTH, 4, 1, w)
+            entry(_TAG_IMAGE_LENGTH, 4, 1, h)
+            entry(_TAG_BITS_PER_SAMPLE, 3, 1, bits)
+            entry(_TAG_COMPRESSION, 3, 1, comp_id)
+            if tile is None:
+                rps = (
+                    h
+                    if rows_per_strip in (0, None) or rows_per_strip >= h
+                    else rows_per_strip
+                )
+                entry(
+                    off_tag, 4, n_segs,
+                    seg_offsets[k][0] if n_segs == 1 else arr_off,
+                )
+                entry(_TAG_ROWS_PER_STRIP, 4, 1, rps)
+                entry(
+                    cnt_tag, 4, n_segs,
+                    sizes[0] if n_segs == 1 else arr_off + 4 * n_segs,
+                )
+            if predictor == 2:
+                entry(_TAG_PREDICTOR, 3, 1, 2)
+            if tile is not None:
+                entry(_TAG_TILE_WIDTH, 4, 1, tile[0])
+                entry(_TAG_TILE_LENGTH, 4, 1, tile[1])
+                entry(
+                    off_tag, 4, n_segs,
+                    seg_offsets[k][0] if n_segs == 1 else arr_off,
+                )
+                entry(
+                    cnt_tag, 4, n_segs,
+                    sizes[0] if n_segs == 1 else arr_off + 4 * n_segs,
+                )
+            entry(_TAG_SAMPLE_FORMAT, 3, 1, kind)
+            f.write(struct.pack("<I", next_ifd))
+
+        if n_segs > 1:
+            for k in range(t):
+                f.write(struct.pack("<" + "I" * n_segs, *seg_offsets[k]))
+                f.write(
+                    struct.pack("<" + "I" * n_segs, *[len(s) for s in pages[k]])
+                )
+        for segs in pages:
+            for s in segs:
+                f.write(s)

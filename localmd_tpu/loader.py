@@ -57,13 +57,20 @@ def _mm(a, b):
     return jnp.matmul(a, b, preferred_element_type=jnp.float32)
 
 
-def _chunk_ranges(total: int, chunk: int) -> List[Tuple[int, int]]:
-    """[start, end) ranges; the final partial chunk is merged into the
-    previous one (reference FrameDataloader semantics, pmd_loader.py:78-105)
-    so every chunk except possibly the last-merged one has full length."""
+def _chunk_ranges(
+    total: int, chunk: int, merge_tail: bool = True
+) -> List[Tuple[int, int]]:
+    """[start, end) ranges. With ``merge_tail`` the final partial chunk is
+    merged into the previous one (reference FrameDataloader semantics,
+    pmd_loader.py:78-105) so every chunk except possibly the last-merged one
+    has full length; without it, plain fixed-size ranges with a short tail
+    (reference statistics-pass semantics, pmd_loader.py:245-258, where tails
+    shorter than MIN_NOISE_FRAMES are then excluded from the noise average)."""
     n_chunks = math.ceil(total / chunk)
     if n_chunks <= 1:
         return [(0, total)]
+    if not merge_tail:
+        return [(i * chunk, min((i + 1) * chunk, total)) for i in range(n_chunks)]
     ranges = [(i * chunk, (i + 1) * chunk) for i in range(n_chunks - 2)]
     ranges.append(((n_chunks - 2) * chunk, total))
     return ranges
@@ -158,7 +165,7 @@ class PMDLoader:
         compute_normalizer: bool = True,
         frame_constant: int = STATS_CHUNK_FRAMES,
         seed: Optional[int] = None,
-        num_workers: Optional[int] = None,  # accepted for API parity; IO uses threads
+        num_workers: Optional[int] = None,
         precomputed: Optional[dict] = None,
     ):
         self.dataset = as_dataset(dataset)
@@ -171,6 +178,13 @@ class PMDLoader:
         self.frame_constant = frame_constant
         self._compute_normalizer = compute_normalizer
         self._key = make_key(seed)
+        # The reference spawns torch DataLoader worker *processes*
+        # (pmd_loader.py:155-168); here IO is thread-based, so num_workers
+        # maps onto prefetch depth and the native reader's thread count.
+        self.num_workers = int(num_workers) if num_workers else 0
+        self._prefetch_depth = max(2, self.num_workers)
+        if self.num_workers and hasattr(self.dataset, "set_io_threads"):
+            self.dataset.set_io_threads(self.num_workers)
 
         # checkpoint/resume hook: skip the statistics/background passes when
         # a prior run's results are supplied
@@ -221,15 +235,20 @@ class PMDLoader:
         per_frame = self.n_pixels * 4
         return max(64, min(self.batch_size, STREAM_CHUNK_BYTES // per_frame))
 
-    def _iter_raw_chunks(self, chunk_frames: Optional[int] = None, prefetch: bool = True):
+    def _iter_raw_chunks(
+        self,
+        chunk_frames: Optional[int] = None,
+        prefetch: bool = True,
+        merge_tail: bool = True,
+    ):
         chunk_frames = chunk_frames or self._stream_chunk_frames()
-        ranges = _chunk_ranges(self.shape[0], chunk_frames)
+        ranges = _chunk_ranges(self.shape[0], chunk_frames, merge_tail=merge_tail)
 
         def load(rng):
             return self._load_raw(slice(rng[0], rng[1]))
 
         if prefetch and not self._device_resident:
-            return _prefetch_iter(ranges, load)
+            return _prefetch_iter(ranges, load, depth=self._prefetch_depth)
         return (load(r) for r in ranges)
 
     # -- statistics ------------------------------------------------------------
@@ -245,7 +264,11 @@ class PMDLoader:
         noise_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_chunks = 0
 
-        for raw in self._iter_raw_chunks(self.frame_constant):
+        # Unmerged ranges: the reference stats loop walks plain 1024-frame
+        # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise
+        # average (pmd_loader.py:245-258); merged ranges would fold the tail
+        # into the last chunk and shift std_img whenever T % 1024 != 0.
+        for raw in self._iter_raw_chunks(self.frame_constant, merge_tail=False):
             t_c = raw.shape[0]
             with_noise = normalizer_flag and t_c >= MIN_NOISE_FRAMES
             if use_pallas:
@@ -340,7 +363,7 @@ class PMDLoader:
         buf = jnp.zeros((d1, d2, t), dtype=jnp.float32)
         tb_chunks = []
         loader = (
-            _prefetch_iter(spans, load)
+            _prefetch_iter(spans, load, depth=self._prefetch_depth)
             if not self._device_resident
             else (load(s) for s in spans)
         )

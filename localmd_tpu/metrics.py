@@ -20,6 +20,16 @@ from localmd_tpu.ops.tiling import flatten_fov
 from localmd_tpu.pmd_array import PMDArray
 
 
+def _load_chunk_f32(dataset, sub) -> jnp.ndarray:
+    """Read ``dataset[sub]`` exactly once (disk-backed datasets pay per read)
+    and return a (t, d1, d2) float32 device array."""
+    chunk = dataset[sub]
+    if not hasattr(chunk, "devices"):
+        chunk = np.asarray(chunk, dtype=np.float32)
+    raw = jnp.asarray(chunk).astype(jnp.float32)
+    return raw[None] if raw.ndim == 2 else raw
+
+
 def compression_ratio(pmd: PMDArray) -> float:
     """Raw float32 movie bytes / stored factorization bytes."""
     t, d1, d2 = pmd.shape
@@ -62,11 +72,7 @@ def reconstruction_error(
 
     for s in range(0, len(frames), chunk_frames):
         sub = frames[s : s + chunk_frames]
-        raw = jnp.asarray(np.asarray(dataset[sub], dtype=np.float32)
-                          if not hasattr(dataset[sub], "devices")
-                          else dataset[sub]).astype(jnp.float32)
-        if raw.ndim == 2:
-            raw = raw[None]
+        raw = _load_chunk_f32(dataset, sub)
         rec = pmd.reconstruct_frames(sub)
         err_sq += float(jnp.sum((rec - raw) ** 2))
         raw_sq += float(jnp.sum(raw**2))
@@ -97,11 +103,7 @@ def residual_noise_ratio(
     err_sq = 0.0
     for s in range(0, len(frames), chunk_frames):
         sub = frames[s : s + chunk_frames]
-        raw = jnp.asarray(np.asarray(dataset[sub], dtype=np.float32)
-                          if not hasattr(dataset[sub], "devices")
-                          else dataset[sub]).astype(jnp.float32)
-        if raw.ndim == 2:
-            raw = raw[None]
+        raw = _load_chunk_f32(dataset, sub)
         rec = pmd.reconstruct_frames(sub)
         err_sq += float(jnp.sum((rec - raw) ** 2))
 

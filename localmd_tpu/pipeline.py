@@ -185,6 +185,22 @@ def localmd_decomposition(
         np.random.seed(seed)
     key = make_key(seed)
 
+    # Content-sensitive arguments must be part of the resume fingerprint:
+    # resuming a checkpoint written with a different pixel weighting or
+    # denoiser would silently return results computed with the old settings.
+    import hashlib
+
+    if pixel_weighting is not None:
+        pw = np.ascontiguousarray(np.asarray(pixel_weighting, dtype=np.float32))
+        pixel_weighting_token = hashlib.sha256(pw.tobytes()).hexdigest()[:16]
+    else:
+        pixel_weighting_token = None
+
+    def _fn_token(fn):
+        if fn is None:
+            return None
+        return f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+
     ckpt = PipelineCheckpoint(
         checkpoint_path,
         dict(
@@ -196,6 +212,9 @@ def localmd_decomposition(
             temporal_avg_factor=temporal_avg_factor,
             spatial_avg_factor=spatial_avg_factor, order=order,
             window_chunks=window_chunks, seed=seed, sim_iters=sim_iters,
+            pixel_weighting=pixel_weighting_token,
+            spatial_denoiser=_fn_token(spatial_denoiser),
+            temporal_denoiser=_fn_token(temporal_denoiser),
         ),
     )
 
@@ -216,6 +235,7 @@ def localmd_decomposition(
         order=order,
         compute_normalizer=compute_normalizer,
         seed=seed,
+        num_workers=num_workers,
         precomputed=precomputed or None,
     )
     if not ckpt.has("stats"):

@@ -175,22 +175,16 @@ class PMDArray:
         )[..., None]
         return jnp.moveaxis(movie, -1, 0)
 
-    def _pallas_recon_safe(self) -> bool:
-        """The fused kernel moves widened 8-aligned DMA windows, so any block
-        geometry is safe (unaligned rectangle DMAs fault the TPU worker —
-        verified on hardware — hence the widening)."""
-        return True
-
     def _reconstruct_standardized(self, temporal) -> jnp.ndarray:
         """U @ temporal as a (d1, d2, f) image. Uses the fused Pallas
-        overlap-add kernel on TPU when the blocked geometry is available;
-        XLA scatter-add otherwise."""
+        overlap-add kernel on TPU when the blocked geometry is available
+        (it moves widened 8-aligned DMA windows, so any block geometry is
+        safe); XLA scatter-add otherwise."""
         u = self._blocksparse
         use_pallas = (
             u.starts is not None
             and u.block_shape is not None
             and jax.default_backend() not in ("cpu",)
-            and self._pallas_recon_safe()
         )
         if not use_pallas:
             flat = u.matmul(temporal)                             # (d, f)

@@ -73,6 +73,21 @@ class TestLoaderStatistics:
         loader = PMDLoader(movie, background_rank=0, compute_normalizer=False, seed=0)
         np.testing.assert_array_equal(loader.std_img, 1.0)
 
+    def test_stats_tail_semantics(self, rng):
+        """The stats pass walks UNMERGED frame_constant ranges and excludes
+        short (< MIN_NOISE_FRAMES) tails from the noise average (reference
+        pmd_loader.py:245-258): a 176-frame tail contributes to the mean but
+        not to std_img."""
+        t, d1, d2 = 1200, 8, 6  # 1024 + 176-frame tail (176 < 256)
+        movie = rng.standard_normal((t, d1, d2)).astype(np.float32) * 3.0
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        # mean over ALL frames
+        np.testing.assert_allclose(loader.mean_img, movie.mean(axis=0), rtol=1e-4)
+        # noise sigma from the single full 1024-frame chunk only
+        chunk = jnp.moveaxis(jnp.asarray(movie[:1024]), 0, -1)
+        expected_sigma = np.asarray(welch_noise_estimate(chunk))
+        np.testing.assert_allclose(loader.std_img, expected_sigma, rtol=1e-4)
+
     def test_precomputed_skips_passes(self, rng):
         movie = rng.standard_normal((400, 12, 10)).astype(np.float32)
         mean = np.full((12, 10), 7.0, np.float32)

@@ -223,6 +223,42 @@ class TestCheckpointResume:
         out = localmd_decomposition(movie, checkpoint_path=path, **kw2)
         assert out.shape == (280, 20, 20)
 
+    def test_pixel_weighting_and_denoiser_invalidate(self, rng, tmp_path):
+        """Changing pixel_weighting or a denoiser must invalidate the resume
+        fingerprint — otherwise a rerun silently reuses 'blocks' computed with
+        the old settings."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "ck")
+        base = localmd_decomposition(movie, checkpoint_path=path, **kw)
+
+        weighting = np.ones((20, 20), dtype=np.float32)
+        weighting[:10] = 2.0
+        weighted = localmd_decomposition(
+            movie, checkpoint_path=path, pixel_weighting=weighting, **kw
+        )
+        # the weighted run must NOT have resumed the unweighted blocks: its
+        # U differs (weighting scales the spatial components pre-assembly)
+        assert not np.allclose(
+            np.asarray(weighted.u.todense()), np.asarray(base.u.todense())
+        )
+
+        def scale_denoiser(x):
+            return x * 0.5
+
+        denoised = localmd_decomposition(
+            movie, checkpoint_path=path, temporal_denoiser=scale_denoiser, **kw
+        )
+        assert denoised.shape == (280, 20, 20)
+        # same weighting hash resumes cleanly (no recompute crash, same result)
+        again = localmd_decomposition(
+            movie, checkpoint_path=path, pixel_weighting=weighting, **kw
+        )
+        assert again.shape == (280, 20, 20)
+
 
 class TestParameterRobustness:
     def test_odd_fov_and_block_sizes(self, rng):
