@@ -108,22 +108,27 @@ def _to_fov_f32(raw: Array) -> Array:
     return jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
 
 
-@functools_partial(jax.jit, donate_argnums=(0,))
+@functools_partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
 def standardize_and_filter(
-    data: Array, mean_img: Array, std_img: Array, spatial_basis_flat: Array
+    data: Array,
+    mean_img: Array,
+    std_img: Array,
+    spatial_basis_flat: Array,
+    order: str = "F",
 ) -> Tuple[Array, Array]:
     """Standardize a (d1, d2, t) chunk and project out the background basis.
 
+    ``order`` must match the pixel layout of ``spatial_basis_flat``'s rows.
     Returns the filtered chunk (d1, d2, t) and the background temporal
     projection (K, t). Parity: reference ``standardize_and_filter``
     (pmd_loader.py:374-389).
     """
     d1, d2, t = data.shape
     data = (data - mean_img[:, :, None]) / std_img[:, :, None]
-    flat = flatten_fov(data)                              # (d, t) F-order
+    flat = flatten_fov(data, order)                       # (d, t)
     temporal_projection = _mm(spatial_basis_flat.T, flat)  # (K, t)
     flat = flat - _mm(spatial_basis_flat, temporal_projection)
-    return unflatten_fov(flat, d1, d2), temporal_projection
+    return unflatten_fov(flat, d1, d2, order), temporal_projection
 
 
 @functools_partial(jax.jit, donate_argnums=(0,))
@@ -140,14 +145,14 @@ def _fold_projector(a: Array, std_flat: Array, mean_flat: Array):
     return a_tilde, c
 
 
-@jax.jit
-def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array) -> Array:
+@functools_partial(jax.jit, static_argnums=(3,))
+def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array, order: str = "F") -> Array:
     """One streamed chunk of the folded temporal regression.
 
     raw: (t, d1, d2) native dtype. Returns (r', t) on device.
     """
     x = jnp.moveaxis(raw, 0, -1).astype(jnp.float32)      # (d1, d2, t)
-    flat = flatten_fov(x)                                  # (d, t) F-order
+    flat = flatten_fov(x, order)                           # (d, t)
     return _mm(a_tilde.T, flat) - c[:, None]
 
 
@@ -304,8 +309,8 @@ class PMDLoader:
 
     def _initialize_background(self, n_samples: int = 1000):
         """Rank-``background_rank`` randomized SVD of <= 1000 random
-        standardized frames (reference pmd_loader.py:300-314). The basis is
-        F-order-flattened: shape (d1*d2, K), kept on device."""
+        standardized frames (reference pmd_loader.py:300-314). The basis rows
+        follow the loader's pixel ``order``: shape (d1*d2, K), on device."""
         if self.background_rank <= 0:
             self.spatial_basis = jnp.zeros((self.n_pixels, 1), dtype=jnp.float32)
             return
@@ -317,7 +322,7 @@ class PMDLoader:
         crop = (crop - jnp.asarray(self.mean_img)[:, :, None]) / jnp.asarray(
             self.std_img
         )[:, :, None]
-        flat = flatten_fov(crop)
+        flat = flatten_fov(crop, self._order)
         self._key, sub = jax.random.split(self._key)
         u, _, _ = truncated_random_svd(flat, sub, self.background_rank)
         self.spatial_basis = u
@@ -358,7 +363,7 @@ class PMDLoader:
 
         if len(spans) == 1:
             chunk = _to_fov_f32(jnp.asarray(load(0)))
-            return standardize_and_filter(chunk, mean_d, std_d, basis_d)
+            return standardize_and_filter(chunk, mean_d, std_d, basis_d, self._order)
 
         buf = jnp.zeros((d1, d2, t), dtype=jnp.float32)
         tb_chunks = []
@@ -369,7 +374,7 @@ class PMDLoader:
         )
         for start, raw in zip(spans, loader):
             chunk = _to_fov_f32(jnp.asarray(raw))
-            filt, tb = standardize_and_filter(chunk, mean_d, std_d, basis_d)
+            filt, tb = standardize_and_filter(chunk, mean_d, std_d, basis_d, self._order)
             buf = _write_time_chunk(buf, filt, start)
             tb_chunks.append(tb)
         return buf, jnp.concatenate(tb_chunks, axis=1)
@@ -390,18 +395,19 @@ class PMDLoader:
         """
         p_dev = jnp.asarray(p)
         a = u.matmul(p_dev)                                   # (d, r') dense
-        std_flat = flatten_image(jnp.asarray(self.std_img))
-        mean_flat = flatten_image(jnp.asarray(self.mean_img))
+        std_flat = flatten_image(jnp.asarray(self.std_img), self._order)
+        mean_flat = flatten_image(jnp.asarray(self.mean_img), self._order)
         a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
         if mesh is None and jax.default_backend() not in ("cpu",):
             # Pallas fast path: one HBM pass per chunk, native-dtype reads.
-            # The folded projector's rows are F-order pixels; re-order them to
-            # match the raw (t, d1, d2) chunk's C-order flattening once.
+            # The folded projector's rows follow the pipeline's pixel order;
+            # re-order them once to match the raw (t, d1, d2) chunk's C-order
+            # flattening (a no-op re-view when order='C').
             from localmd_tpu.ops.pallas_kernels import fused_v_projection
 
             d1, d2 = self.shape[1], self.shape[2]
-            a_c = unflatten_fov(a_tilde, d1, d2).reshape(d1 * d2, -1)
+            a_c = unflatten_fov(a_tilde, d1, d2, self._order).reshape(d1 * d2, -1)
             results = []
             for raw in self._iter_raw_chunks():
                 raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
@@ -410,7 +416,11 @@ class PMDLoader:
                 jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
             )
 
-        kernel = _v_projection_kernel
+        order = self._order
+
+        def kernel(a_t, c_r, raw):
+            return _v_projection_kernel(a_t, c_r, raw, order)
+
         n_dev = 1
         if mesh is not None:
             from localmd_tpu.parallel.mesh import BLOCK_AXIS
@@ -420,7 +430,7 @@ class PMDLoader:
 
             def sharded_kernel(a_t, c_r, raw):
                 f = jax.shard_map(
-                    _v_projection_kernel,
+                    lambda a, cc, r: _v_projection_kernel(a, cc, r, order),
                     mesh=mesh,
                     in_specs=(P(), P(), P(BLOCK_AXIS)),
                     out_specs=P(None, BLOCK_AXIS),

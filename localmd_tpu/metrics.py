@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from localmd_tpu.dataset import as_dataset
-from localmd_tpu.ops.tiling import flatten_fov
 from localmd_tpu.pmd_array import PMDArray
 
 

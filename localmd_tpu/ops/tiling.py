@@ -141,8 +141,11 @@ class BlockGrid:
         starts = np.array([(k, j) for k in s1 for j in s2], dtype=np.int32)
         object.__setattr__(self, "starts", starts)
 
-        # Global pixel row ids per block, flattened in `order` over the block
-        # AND over the FOV (reference sparse_indices grid, decomposition.py:752).
+        # Global pixel row ids per block. The GLOBAL id follows `order`
+        # (reference sparse_indices grid, decomposition.py:752); the flatten
+        # WITHIN the block is always F — that is the engine's internal panel
+        # row layout (engine.py flatten_fov), and only the panel-row <->
+        # global-id pairing matters downstream.
         ii = np.arange(b1, dtype=np.int64)[:, None]
         jj = np.arange(b2, dtype=np.int64)[None, :]
         rows_all = []
@@ -150,9 +153,7 @@ class BlockGrid:
             gi = k + ii
             gj = j + jj
             pix = gi + gj * self.d1 if self.order == "F" else gi * self.d2 + gj
-            rows_all.append(
-                pix.flatten(order=self.order)
-            )
+            rows_all.append(pix.flatten(order="F"))
         object.__setattr__(self, "rows", np.stack(rows_all).astype(np.int32))
 
         w = pyramid_weights(b1, b2)

@@ -173,14 +173,8 @@ def localmd_decomposition(
 
     dataset_obj = as_dataset(dataset_obj)
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
-    if order != "F":
-        # The compute path flattens pixels in F-order throughout (the
-        # reference's default and documented convention); silently mixing
-        # conventions would corrupt the factorization. PMDArray itself loads
-        # C-order .npz files fine.
-        raise NotImplementedError(
-            "order='C' is not supported by the TPU pipeline yet; use 'F'"
-        )
+    if order not in ("F", "C"):
+        raise ValueError(f"order must be 'F' or 'C', got {order!r}")
     if seed is not None:
         np.random.seed(seed)
     key = make_key(seed)
@@ -432,8 +426,10 @@ def localmd_decomposition(
     display(f"Total blockwise rank (pre-background): {total_rank}")
 
     # -- pyramid-weight + normalize + assemble U -------------------------------
+    # weights_flat multiplies PANEL rows, whose within-block layout is always
+    # F (see BlockGrid.rows); cum_flat is indexed by GLOBAL ids (order-aware).
     weights_flat = jnp.asarray(
-        flatten_image(jnp.asarray(grid.weights), order)
+        flatten_image(jnp.asarray(grid.weights), "F")
     )                                                     # (p,)
     cum_flat = jnp.asarray(
         flatten_image(jnp.asarray(grid.cumulative_weights), order)

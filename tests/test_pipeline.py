@@ -260,6 +260,46 @@ class TestCheckpointResume:
         assert again.shape == (280, 20, 20)
 
 
+class TestOrderC:
+    def test_order_c_matches_order_f(self, rng):
+        """order='C' (reference decomposition.py:659 accepts it throughout)
+        must produce the same reconstruction as order='F': the pixel-id
+        convention is a permutation, not a different factorization."""
+        movie = make_low_rank_movie(3, (300, 26, 22), rng)
+        kw = dict(
+            block_sizes=(12, 10), frame_range=300, max_components=5,
+            background_rank=2, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        f = localmd_decomposition(movie, **kw)
+        c = localmd_decomposition(movie, order="C", **kw)
+        assert c.order == "C"
+        np.testing.assert_allclose(c[:, :, :], f[:, :, :], atol=1e-4)
+        # device reconstruct + npz roundtrip preserve the C convention
+        np.testing.assert_allclose(
+            np.asarray(c.reconstruct_frames([5]))[0], c[5], atol=1e-4
+        )
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "c.npz")
+            c.to_npz(path)
+            back = c.from_npz(path)
+            assert back.order == "C"
+            np.testing.assert_allclose(back[7], c[7], atol=1e-5)
+
+    def test_order_c_with_mesh(self, rng):
+        from localmd_tpu.parallel.mesh import make_mesh
+
+        movie = make_low_rank_movie(2, (280, 24, 24), rng)
+        kw = dict(
+            block_sizes=(12, 12), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        single = localmd_decomposition(movie, order="C", **kw)
+        sharded = localmd_decomposition(movie, order="C", mesh=make_mesh(), **kw)
+        np.testing.assert_allclose(sharded[:, :, :], single[:, :, :], atol=1e-4)
+
+
 class TestParameterRobustness:
     def test_odd_fov_and_block_sizes(self, rng):
         movie = make_low_rank_movie(3, (290, 37, 29), rng)
