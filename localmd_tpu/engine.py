@@ -582,6 +582,7 @@ def threshold_heuristic(
     percentile_threshold: float = 5.0,
     key: Optional[Array] = None,
     sim_batch: int = 32,
+    as_device: bool = False,
 ) -> Tuple[float, float]:
     """Spatial/temporal roughness cutoffs from a noise-null Monte-Carlo.
 
@@ -590,6 +591,11 @@ def threshold_heuristic(
     exists) and the percentile reduction in a single compiled program — the
     reference runs 250 serial host iterations with per-iteration key
     transfers (decomposition.py:171-189).
+
+    With ``as_device`` the thresholds are returned as device scalars: the
+    downstream block kernels take them as traced arguments, so the pipeline
+    never blocks on a device->host round trip between the simulation and the
+    block stage.
     """
     if key is None:
         from localmd_tpu.utils import make_key
@@ -600,4 +606,6 @@ def threshold_heuristic(
     s_thr, t_thr = _threshold_kernel(
         key, d1, d2, t, num_comps, n_batches, sim_batch, percentile_threshold
     )
+    if as_device:
+        return s_thr, t_thr
     return float(s_thr), float(t_thr)

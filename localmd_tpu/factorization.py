@@ -96,6 +96,7 @@ def compute_lowrank_factorized_svd(
     only_left: bool = False,
     col_chunk: int = DEFAULT_COL_CHUNK,
     mesh=None,
+    expected_rank: int = None,
 ):
     """SVD of the low-rank product ``u @ v``.
 
@@ -106,6 +107,14 @@ def compute_lowrank_factorized_svd(
             ((R, r'), U @ P orthonormal).
         mesh: optional 1-D jax Mesh — the Gram quadratic form is computed
             with block panels sharded and one psum at the overlap seams.
+        expected_rank: host-known rank of U (e.g. kept components + background
+            from the pipeline's ``counts``). When given, the positive-eigenvalue
+            cut keeps the top ``expected_rank`` directions with a DEVICE-side
+            mask — no blocking device->host pull sits between the eigh and the
+            downstream streaming pass (each sync is a full round trip on a
+            tunneled TPU). Rank-deficient directions inside the top-k are
+            zeroed (not dropped) and fall out of the final SVD as zero
+            singular values, matching the reference's ``eig_vals > 0`` cut.
 
     Returns:
         P if ``only_left`` else (P', s, Vt) such that (U P') s Vt = U V.
@@ -127,6 +136,22 @@ def compute_lowrank_factorized_svd(
     else:
         quad = op.gram_quadratic(right, col_chunk=col_chunk)   # (m, m)
     eig_vals, eig_vecs = eigh_descending(quad)
+    m = quad.shape[0]
+
+    if expected_rank is not None:
+        k = min(int(expected_rank), m)
+        vals_k = eig_vals[:k]
+        # relative cut at f32-Gram precision, computed on device: zero-padded
+        # slot columns give an exact null space whose eigenvalues surface as
+        # +/- float noise; dividing by their sqrt would amplify garbage.
+        tol = jnp.maximum(eig_vals[0], 0.0) * 1e-6
+        inv_sing = jnp.where(vals_k > tol, 1.0 / jnp.sqrt(jnp.maximum(vals_k, 1e-30)), 0.0)
+        p = _mm(right, eig_vecs[:, :k] * inv_sing[None, :])     # (R, k)
+        if only_left:
+            return p
+        new_temporal = _mm(p.T, op.gram_matmul(v, col_chunk=col_chunk))
+        return projected_svd(p, new_temporal)
+
     eig_vals_np = np.asarray(eig_vals)
     # The reference keeps eig_vals > 0 (decomposition.py:988); with our
     # zero-padded slot columns the Gram has an exact null space whose

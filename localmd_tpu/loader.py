@@ -108,6 +108,48 @@ def _to_fov_f32(raw: Array) -> Array:
     return jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
 
 
+@functools_partial(jax.jit, static_argnums=(4,))
+def _standardize_and_filter_raw(
+    raw: Array,
+    mean_img: Array,
+    std_img: Array,
+    spatial_basis_flat: Array,
+    order: str = "F",
+) -> Tuple[Array, Array]:
+    """Fused native-dtype (t, d1, d2) chunk -> standardized+filtered
+    (d1, d2, t). One program: the cast/transpose/standardize/project chain
+    never materializes eager intermediates — on a device-resident movie the
+    eager version peaks at 4 movie-sized buffers and OOMs a 16 GB chip for
+    1024^2 x 1024 inputs."""
+    x = jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
+    d1, d2, t = x.shape
+    x = (x - mean_img[:, :, None]) / std_img[:, :, None]
+    flat = flatten_fov(x, order)
+    temporal_projection = _mm(spatial_basis_flat.T, flat)
+    flat = flat - _mm(spatial_basis_flat, temporal_projection)
+    return unflatten_fov(flat, d1, d2, order), temporal_projection
+
+
+@functools_partial(jax.jit, static_argnums=(5, 6))
+def _background_basis_kernel(
+    movie: Array,
+    idx: Array,
+    mean_img: Array,
+    std_img: Array,
+    key: Array,
+    order: str,
+    rank: int,
+) -> Array:
+    """Gather + standardize + flatten + randomized SVD as ONE program (for
+    device-resident movies — an eager gather of ~1000 frames copies nearly
+    the whole movie before the standardize even starts)."""
+    crop = jnp.moveaxis(movie[idx].astype(jnp.float32), 0, -1)
+    crop = (crop - mean_img[:, :, None]) / std_img[:, :, None]
+    flat = flatten_fov(crop, order)
+    u, _, _ = truncated_random_svd(flat, key, rank)
+    return u
+
+
 @functools_partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
 def standardize_and_filter(
     data: Array,
@@ -228,6 +270,17 @@ class PMDLoader:
         """(T, d1, d2) chunk in the dataset's NATIVE dtype. For host datasets:
         a contiguous numpy array (cast + transpose happen on device). For a
         DeviceMovie: a device slice (no transfer at all)."""
+        if (
+            self._device_resident
+            and isinstance(frames, slice)
+            and frames.start in (0, None)
+            and frames.step in (1, None)
+            and frames.stop is not None
+            and frames.stop >= self.shape[0]
+        ):
+            # whole-movie request: jax slicing has no views, so even a full
+            # slice would eagerly copy the entire movie in HBM
+            return self.dataset._array
         arr = self.dataset[frames]
         if self._device_resident:
             return arr if arr.ndim == 3 else arr[None]
@@ -245,12 +298,25 @@ class PMDLoader:
         chunk_frames: Optional[int] = None,
         prefetch: bool = True,
         merge_tail: bool = True,
+        device_put: bool = False,
     ):
+        """Iterate native-dtype frame chunks.
+
+        With ``device_put``, the prefetch thread also STARTS the host->device
+        transfer (``jax.device_put`` is async): disk IO, H2D transfer, and
+        device compute of the previous chunk all overlap — double buffering
+        via the depth-2 prefetch queue. This is what sustains streaming
+        throughput on full-movie passes (stats, V regression); the reference
+        overlaps only disk IO via DataLoader workers (pmd_loader.py:155-168).
+        """
         chunk_frames = chunk_frames or self._stream_chunk_frames()
         ranges = _chunk_ranges(self.shape[0], chunk_frames, merge_tail=merge_tail)
 
         def load(rng):
-            return self._load_raw(slice(rng[0], rng[1]))
+            raw = self._load_raw(slice(rng[0], rng[1]))
+            if device_put and not isinstance(raw, jax.Array):
+                raw = jax.device_put(raw)
+            return raw
 
         if prefetch and not self._device_resident:
             return _prefetch_iter(ranges, load, depth=self._prefetch_depth)
@@ -273,7 +339,9 @@ class PMDLoader:
         # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise
         # average (pmd_loader.py:245-258); merged ranges would fold the tail
         # into the last chunk and shift std_img whenever T % 1024 != 0.
-        for raw in self._iter_raw_chunks(self.frame_constant, merge_tail=False):
+        for raw in self._iter_raw_chunks(
+            self.frame_constant, merge_tail=False, device_put=True
+        ):
             t_c = raw.shape[0]
             with_noise = normalizer_flag and t_c >= MIN_NOISE_FRAMES
             if use_pallas:
@@ -318,12 +386,25 @@ class PMDLoader:
         t_total = self.shape[0]
         n = min(n_samples, t_total)
         frames = np.sort(np.random.choice(t_total, size=n, replace=False)).tolist()
+        self._key, sub = jax.random.split(self._key)
+        if self._device_resident:
+            # one fused program: gather + standardize + rSVD (eager gather of
+            # ~1000 frames would copy nearly the whole movie)
+            self.spatial_basis = _background_basis_kernel(
+                self.dataset._array,
+                jnp.asarray(frames),
+                jnp.asarray(self.mean_img),
+                jnp.asarray(self.std_img),
+                sub,
+                self._order,
+                self.background_rank,
+            )
+            return
         crop = _to_fov_f32(jnp.asarray(self._load_raw(frames)))
         crop = (crop - jnp.asarray(self.mean_img)[:, :, None]) / jnp.asarray(
             self.std_img
         )[:, :, None]
         flat = flatten_fov(crop, self._order)
-        self._key, sub = jax.random.split(self._key)
         u, _, _ = truncated_random_svd(flat, sub, self.background_rank)
         self.spatial_basis = u
 
@@ -362,8 +443,12 @@ class PMDLoader:
             return self._load_raw(sub)
 
         if len(spans) == 1:
-            chunk = _to_fov_f32(jnp.asarray(load(0)))
-            return standardize_and_filter(chunk, mean_d, std_d, basis_d, self._order)
+            # fused: cast/transpose/standardize/filter in ONE program (no
+            # eager movie-sized intermediate; matters for device-resident
+            # movies near the HBM limit)
+            return _standardize_and_filter_raw(
+                jnp.asarray(load(0)), mean_d, std_d, basis_d, self._order
+            )
 
         buf = jnp.zeros((d1, d2, t), dtype=jnp.float32)
         tb_chunks = []
@@ -373,8 +458,9 @@ class PMDLoader:
             else (load(s) for s in spans)
         )
         for start, raw in zip(spans, loader):
-            chunk = _to_fov_f32(jnp.asarray(raw))
-            filt, tb = standardize_and_filter(chunk, mean_d, std_d, basis_d, self._order)
+            filt, tb = _standardize_and_filter_raw(
+                jnp.asarray(raw), mean_d, std_d, basis_d, self._order
+            )
             buf = _write_time_chunk(buf, filt, start)
             tb_chunks.append(tb)
         return buf, jnp.concatenate(tb_chunks, axis=1)
@@ -409,7 +495,7 @@ class PMDLoader:
             d1, d2 = self.shape[1], self.shape[2]
             a_c = unflatten_fov(a_tilde, d1, d2, self._order).reshape(d1 * d2, -1)
             results = []
-            for raw in self._iter_raw_chunks():
+            for raw in self._iter_raw_chunks(device_put=True):
                 raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
                 results.append(fused_v_projection(raw2d, a_c, c))
             return (
@@ -441,7 +527,7 @@ class PMDLoader:
             kernel = sharded_kernel
 
         results = []
-        for raw in self._iter_raw_chunks():
+        for raw in self._iter_raw_chunks(device_put=(mesh is None)):
             raw = jnp.asarray(raw)
             t_c = raw.shape[0]
             pad = (-t_c) % n_dev

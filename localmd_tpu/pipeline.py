@@ -265,12 +265,15 @@ def localmd_decomposition(
         temporal_threshold = float(thr["temporal_threshold"])
     else:
         display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
+        # device scalars: no host sync between the simulation and the block
+        # stage (the block kernels take thresholds as traced args)
         spatial_threshold, temporal_threshold = threshold_heuristic(
             (b1, b2, window_chunks),
             num_comps=1,
             iters=sim_iters,
             percentile_threshold=sim_conf,
             key=sub,
+            as_device=True,
         )
         ckpt.save(
             "thresholds",
@@ -420,6 +423,11 @@ def localmd_decomposition(
             v_blocks=v_blocks,
             temporal_basis_crop=temporal_basis_crop,
         )
+        # The filtered init movie is movie-sized HBM; everything after this
+        # point works from the panels/temporal fits, and the streaming V pass
+        # needs that HBM back (a 1024^2 x 1024 f32 movie is ~4.3 GB).
+        data_crop = None
+        del panels_chunks, counts_chunks, temporal_chunks
 
     total_rank = int(counts.sum())
     _mark("block_decomposition")
@@ -467,10 +475,16 @@ def localmd_decomposition(
             sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
         )
         projected_v = jnp.matmul(v_cropped, random_mat)
-        p = compute_lowrank_factorized_svd(u, projected_v, only_left=True, mesh=mesh)
+        p = compute_lowrank_factorized_svd(
+            u, projected_v, only_left=True, mesh=mesh,
+            expected_rank=total_rank + k_bg,
+        )
         ckpt.save("projector", p=p)
     else:
-        p = compute_lowrank_factorized_svd(u, v_cropped, only_left=True, mesh=mesh)
+        p = compute_lowrank_factorized_svd(
+            u, v_cropped, only_left=True, mesh=mesh,
+            expected_rank=total_rank + k_bg,
+        )
         ckpt.save("projector", p=p)
     display(f"Rank after reduction: {p.shape[1]}")
     _mark("factorized_svd")

@@ -268,6 +268,36 @@ class PMDArray:
             key = (key,)
         return self._getitem_host(key).squeeze().astype(self.dtype)
 
+    # -- resource management ----------------------------------------------------
+
+    def close(self) -> None:
+        """Release device (HBM) buffers held by this array.
+
+        The factorization's device arrays (block panels, mixing matrix, V,
+        cached reconstruction products) can occupy several GB for large FOVs;
+        a library user looping over movies in one process should ``close()``
+        (or use the context manager) before starting the next decomposition.
+        Host-side state (CSR export, numpy factors) survives if it was
+        already materialized, so slicing keeps working after close — only
+        the device fast path (``reconstruct_frames``) degrades to host CSR.
+        """
+        if self._blocksparse is not None:
+            # materialize host factors first so __getitem__ remains usable
+            self._ensure_csr()
+            _ = self.r, self.v
+            self._blocksparse = None
+        self._combined_temporal_dev = None
+        self._panels_c = None
+        self._r_padded = None
+        if self._v_host is not None:
+            self._v_src = self._v_host
+
+    def __enter__(self) -> "PMDArray":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
     # -- serialization ---------------------------------------------------------
 
     def to_npz(self, filename: str) -> None:

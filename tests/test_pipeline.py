@@ -300,6 +300,34 @@ class TestOrderC:
         np.testing.assert_allclose(sharded[:, :, :], single[:, :, :], atol=1e-4)
 
 
+class TestBackToBackRuns:
+    def test_two_runs_one_process_with_close(self, rng):
+        """A library user looping over movies in one process: close() frees
+        the first result's device buffers, slicing still works afterwards
+        (host factors are materialized on close), and the second run
+        completes (round-1 BUILD_NOTES OOM scenario, at test scale)."""
+        import gc
+
+        movie1 = make_low_rank_movie(3, (300, 24, 24), rng)
+        movie2 = make_low_rank_movie(2, (280, 20, 20), rng)
+        kw = dict(max_components=5, background_rank=1, temporal_avg_factor=4,
+                  sim_iters=15, seed=0)
+        pmd1 = localmd_decomposition(movie1, (12, 12), frame_range=300, **kw)
+        before = pmd1[5]
+        with pmd1:
+            pass  # context manager exit calls close()
+        np.testing.assert_allclose(pmd1[5], before, atol=1e-6)  # host path OK
+        assert pmd1._blocksparse is None
+        # device reconstruct falls back to the host CSR path after close
+        np.testing.assert_allclose(
+            np.asarray(pmd1.reconstruct_frames([5]))[0], before, atol=1e-4
+        )
+        del pmd1
+        gc.collect()
+        pmd2 = localmd_decomposition(movie2, (10, 10), frame_range=280, **kw)
+        assert pmd2.shape == (280, 20, 20)
+
+
 class TestParameterRobustness:
     def test_odd_fov_and_block_sizes(self, rng):
         movie = make_low_rank_movie(3, (290, 37, 29), rng)
@@ -328,11 +356,11 @@ class TestParameterRobustness:
         )
         assert pmd.shape == (280, 20, 20)
 
-    def test_c_order_rejected(self, rng):
+    def test_invalid_order_rejected(self, rng):
         movie = make_low_rank_movie(2, (280, 20, 20), rng)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="order"):
             localmd_decomposition(
-                movie, (10, 10), frame_range=280, order="C", sim_iters=5,
+                movie, (10, 10), frame_range=280, order="K", sim_iters=5,
             )
 
     def test_max_consecutive_failures_two(self, rng):
