@@ -33,18 +33,19 @@ DEFAULT_PATH = "/tmp/northstar_512x512.u16.raw"
 
 
 def generate_movie_file(path: str, t: int, seed: int = 0, chunk: int = 2048):
-    """Rank-16 + noise movie as uint16 on disk (photon-count-like offsets)."""
+    """Rank-16 + noise movie as uint16 on disk (photon-count-like offsets).
+    Noise is drawn directly in float32 (the f64-then-cast path is ~10x
+    slower at the 7.9e9 samples this file needs)."""
     rng = np.random.default_rng(seed)
-    spatial = rng.standard_normal((D1 * D2, 16)).astype(np.float32)
+    spatial = rng.standard_normal((D1 * D2, 16), dtype=np.float32)
     with open(path, "wb") as f:
         for s in range(0, t, chunk):
             n = min(chunk, t - s)
-            temporal = rng.standard_normal((16, n)).astype(np.float32)
+            temporal = rng.standard_normal((16, n), dtype=np.float32)
             block = (spatial @ temporal).T.reshape(n, D1, D2)
-            block += rng.standard_normal((n, D1, D2)).astype(np.float32)
-            f.write(
-                np.clip(block * 40.0 + 1000.0, 0, 65535).astype("<u2").tobytes()
-            )
+            block += rng.standard_normal((n, D1, D2), dtype=np.float32)
+            np.clip(block * 40.0 + 1000.0, 0, 65535, out=block)
+            f.write(block.astype("<u2").tobytes())
 
 
 def measure_disk_bw(path: str, n_bytes: int = 1 << 30) -> float:
@@ -61,11 +62,15 @@ def measure_disk_bw(path: str, n_bytes: int = 1 << 30) -> float:
     return read / (time.perf_counter() - t0)
 
 
-def measure_h2d_bw(n_bytes: int = 1 << 27) -> float:
+def measure_h2d_bw(n_bytes: int = 1 << 29) -> float:
+    """SUSTAINED host->device bandwidth. The axon tunnel serves an initial
+    ~1-2 GB burst at ~1.2 GB/s then settles at ~150 MB/s; a streaming pass
+    sees the sustained rate, so burn the burst first and time the tail."""
     import jax
 
     buf = np.empty(n_bytes, dtype=np.uint8)
-    jax.block_until_ready(jax.device_put(buf[: 1 << 20]))  # warm path
+    for _ in range(3):  # exhaust the burst credit
+        jax.block_until_ready(jax.device_put(buf))
     t0 = time.perf_counter()
     jax.block_until_ready(jax.device_put(buf))
     return n_bytes / (time.perf_counter() - t0)
@@ -99,7 +104,7 @@ def main():
     legs = {}
     if not args.skip_legs:
         legs["disk_read_MBps"] = round(measure_disk_bw(args.path) / 1e6, 1)
-        legs["h2d_MBps"] = round(measure_h2d_bw() / 1e6, 1)
+        legs["h2d_sustained_MBps"] = round(measure_h2d_bw() / 1e6, 1)
 
     import logging
 
@@ -130,9 +135,9 @@ def main():
     # the movie streams twice (stats pass + V regression) in uint16
     stream_bytes = 2 * n_bytes
     legs["achieved_stream_MBps"] = round(stream_bytes / elapsed / 1e6, 1)
-    legs["h2d_bound_mpfs"] = (
-        round(legs["h2d_MBps"] / 2 / 2, 1) if "h2d_MBps" in legs else None
-    )  # bytes/pixel-frame = 2 per pass, 2 passes
+    if "h2d_sustained_MBps" in legs:
+        # 2 bytes/pixel-frame/pass x 2 passes: what the H2D leg alone permits
+        legs["h2d_bound_mpfs"] = round(legs["h2d_sustained_MBps"] / 4, 1)
 
     print(
         json.dumps(

@@ -319,7 +319,11 @@ class PMDLoader:
             return raw
 
         if prefetch and not self._device_resident:
-            return _prefetch_iter(ranges, load, depth=self._prefetch_depth)
+            # In device_put mode cap the queue at 2 regardless of num_workers:
+            # each queued item is an in-flight H2D transfer, and >~3 large
+            # concurrent transfers congest shared/tunneled links.
+            depth = min(self._prefetch_depth, 2) if device_put else self._prefetch_depth
+            return _prefetch_iter(ranges, load, depth=depth)
         return (load(r) for r in ranges)
 
     # -- statistics ------------------------------------------------------------
