@@ -49,8 +49,10 @@ def generate_movie_file(path: str, t: int, seed: int = 0, chunk: int = 2048):
 
 
 def measure_disk_bw(path: str, n_bytes: int = 1 << 30) -> float:
-    """Sequential read bandwidth of the movie file (page cache dropped by
-    reading a fresh region each call; best-effort)."""
+    """EFFECTIVE sequential read bandwidth of the movie file — page cache
+    included, which is what the pipeline's own reads experience (the
+    just-generated file is typically cached; cold-device numbers on this
+    environment's virtual disk are ~15 MB/s)."""
     t0 = time.perf_counter()
     read = 0
     with open(path, "rb", buffering=0) as f:
@@ -103,7 +105,7 @@ def main():
 
     legs = {}
     if not args.skip_legs:
-        legs["disk_read_MBps"] = round(measure_disk_bw(args.path) / 1e6, 1)
+        legs["disk_read_effective_MBps"] = round(measure_disk_bw(args.path) / 1e6, 1)
         legs["h2d_sustained_MBps"] = round(measure_h2d_bw() / 1e6, 1)
 
     import logging

@@ -280,44 +280,6 @@ def _md_pack_step(
     return pack_components(u, decisions, acc, counts, max_consecutive_failures)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 9, 10, 11, 12))
-def _residual_pack_step(
-    window: Array,
-    keys: Array,
-    acc: Array,
-    counts: Array,
-    max_rank: int,
-    temporal_avg_factor: int,
-    spatial_avg_factor: int,
-    spatial_threshold: Array | float,
-    temporal_threshold: Array | float,
-    max_consecutive_failures: int,
-    include_full_fallback: bool,
-    spatial_denoiser: Callable = identity,
-    temporal_denoiser: Callable = identity,
-) -> Tuple[Array, Array]:
-    """Residual-window decomposition + packing as ONE program.
-
-    With ``include_full_fallback`` (any block still holding zero components,
-    reference decomposition.py:476-488), the full two-stage kernel also runs
-    and its results are selected for the zero-count blocks.
-    """
-    u, decisions, _ = single_residual_block_md_batched(
-        window, acc, keys, max_rank, temporal_avg_factor,
-        spatial_threshold, temporal_threshold,
-    )
-    if include_full_fallback:
-        u_full, dec_full, _ = single_block_md_batched(
-            window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
-            spatial_threshold, temporal_threshold,
-            spatial_denoiser, temporal_denoiser,
-        )
-        is_zero = (counts == 0)[:, None]
-        u = jnp.where(is_zero[..., None], u_full, u)
-        decisions = jnp.where(is_zero, dec_full, decisions)
-    return pack_components(u, decisions, acc, counts, max_consecutive_failures)
-
-
 # ---------------------------------------------------------------------------
 # Windowed decomposition driver
 # ---------------------------------------------------------------------------

@@ -88,8 +88,13 @@ class _Page:
 
     @property
     def is_plain(self) -> bool:
-        """True when frames are raw contiguous samples (the mmap fast path)."""
-        return self.compression == _COMP_NONE and self.tile_width == 0
+        """True when frames are raw contiguous samples (the mmap fast path).
+        Predictor-differenced pages need the decode path even uncompressed."""
+        return (
+            self.compression == _COMP_NONE
+            and self.tile_width == 0
+            and self.predictor == 1
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -122,14 +127,14 @@ def _lzw_decode_py(data: bytes, expected: int) -> bytes:
     while True:
         while bitcnt < width:
             if pos >= n:
-                return bytes(out)
+                return bytes(out[:expected])
             bitbuf = (bitbuf << 8) | data[pos]
             pos += 1
             bitcnt += 8
         code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
         bitcnt -= width
         if code == 257:  # EOI
-            return bytes(out)
+            return bytes(out[:expected])
         if code == 256:  # Clear
             reset()
             continue
@@ -151,7 +156,8 @@ def _lzw_decode_py(data: bytes, expected: int) -> bytes:
                 width += 1
         prev = entry
         if len(out) >= expected:
-            return bytes(out)
+            # some writers pad the final strip: truncate like libtiff
+            return bytes(out[:expected])
 
 
 def _lzw_decode(data: bytes, expected: int) -> bytes:
@@ -162,6 +168,11 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
         if decoded is not None:
             return decoded
     except ImportError:  # pragma: no cover
+        pass
+    except ValueError:
+        # The native decoder is strict (e.g. -ENOSPC when a strip decodes to
+        # more than `expected` bytes — some writers pad the final strip); the
+        # Python decoder truncates at `expected` like libtiff does.
         pass
     return _lzw_decode_py(data, expected)
 

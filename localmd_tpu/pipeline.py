@@ -193,7 +193,13 @@ def localmd_decomposition(
     def _fn_token(fn):
         if fn is None:
             return None
-        return f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+        name = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+        # Include a bytecode hash so editing the function body (not just its
+        # name) also invalidates resumable stages.
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            name += ":" + hashlib.sha256(code.co_code).hexdigest()[:12]
+        return name
 
     ckpt = PipelineCheckpoint(
         checkpoint_path,
@@ -266,14 +272,16 @@ def localmd_decomposition(
     else:
         display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
         # device scalars: no host sync between the simulation and the block
-        # stage (the block kernels take thresholds as traced args)
+        # stage (the block kernels take thresholds as traced args). With
+        # checkpointing enabled the save below would force the sync anyway,
+        # so return host floats in that case.
         spatial_threshold, temporal_threshold = threshold_heuristic(
             (b1, b2, window_chunks),
             num_comps=1,
             iters=sim_iters,
             percentile_threshold=sim_conf,
             key=sub,
-            as_device=True,
+            as_device=checkpoint_path is None,
         )
         ckpt.save(
             "thresholds",

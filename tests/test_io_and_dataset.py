@@ -142,6 +142,26 @@ class TestCompressedTiff:
         arr = TiffArray(path)
         np.testing.assert_allclose(arr[[1, 2]], movie[[1, 2]].astype(np.float32))
 
+    def test_uncompressed_predictor_roundtrip(self, tmp_path, rng):
+        """Compression=1 + Predictor=2 pages must take the decode path (the
+        mmap fast path would return row-difference values as pixels)."""
+        movie = (rng.random((3, 20, 17)) * 3000).astype(np.uint16)
+        path = str(tmp_path / "p.tif")
+        write_tiff_compressed(path, movie, compression="none", predictor=2)
+        reader = TiffReader(path)
+        assert not reader.pages[0].is_plain
+        np.testing.assert_array_equal(reader.read_frames(range(3)), movie)
+
+    def test_overlong_lzw_strip_falls_back(self, rng):
+        """A strip that decodes to MORE bytes than expected (writer padding /
+        trailing data before EOI) must truncate like libtiff, even when the
+        strict native decoder rejects it."""
+        from localmd_tpu.io.tiff import _lzw_decode
+
+        data = rng.integers(0, 5, 4000).astype(np.uint8).tobytes()
+        enc = _lzw_encode(data + b"\x01\x02\x03\x04")  # 4 trailing pad bytes
+        assert _lzw_decode(enc, len(data)) == data
+
     def test_tiled_roundtrip(self, tmp_path, rng):
         movie = (rng.random((3, 70, 55)) * 3000).astype(np.uint16)  # ragged tiles
         path = str(tmp_path / "t.tif")
