@@ -219,6 +219,11 @@ class PMDLoader:
         self.dtype = np.dtype(dtype)
         self.shape = tuple(self.dataset.shape)
         self.batch_size = batch_size
+        # Accepted for reference API parity but intentionally inert: the
+        # reference tiles the FOV into ~sqrt(pixel_batch_size)^2 spatial
+        # tiles per stats chunk (pmd_loader.py:228-243); here the fused
+        # kernel processes the whole FOV in one HBM pass, so there is
+        # nothing to batch.
         self.pixel_batch_size = pixel_batch_size
         self._order = order
         self.background_rank = background_rank

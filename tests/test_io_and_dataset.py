@@ -31,6 +31,41 @@ class TestTiff:
         reader = TiffReader(path)
         np.testing.assert_allclose(reader.read_frames(range(4)), movie)
 
+    def test_big_endian_tiff(self, tmp_path, rng):
+        """MM-byte-order TIFFs (old Mac / some microscope software) read
+        with correct sample values."""
+        import struct
+
+        h, w = 13, 9
+        frame = (rng.random((h, w)) * 60000).astype(np.uint16)
+        path = str(tmp_path / "be.tif")
+        tags = [  # (tag, type, count, value)
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+            (273, 4, 1, 0), (278, 4, 1, h),
+            (279, 4, 1, h * w * 2), (339, 3, 1, 1),
+        ]
+        ifd_off = 8
+        data_off = ifd_off + 2 + len(tags) * 12 + 4
+        with open(path, "wb") as f:
+            f.write(b"MM\x00\x2a")
+            f.write(struct.pack(">I", ifd_off))
+            f.write(struct.pack(">H", len(tags)))
+            for tag, typ, cnt, val in tags:
+                if tag == 273:
+                    val = data_off
+                f.write(struct.pack(">HHI", tag, typ, cnt))
+                if typ == 3:
+                    f.write(struct.pack(">HH", val, 0))
+                else:
+                    f.write(struct.pack(">I", val))
+            f.write(struct.pack(">I", 0))  # no next IFD
+            f.write(frame.astype(">u2").tobytes())
+        reader = TiffReader(path)
+        assert reader.dtype.byteorder == ">"
+        np.testing.assert_array_equal(
+            reader.read_frame(0).astype(np.uint16), frame
+        )
+
     def test_tiff_array(self, tmp_path, rng):
         movie = (rng.random((5, 12, 18)) * 100).astype(np.int16)
         path = str(tmp_path / "m.tif")
