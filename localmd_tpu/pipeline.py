@@ -353,9 +353,24 @@ def localmd_decomposition(
     starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
     # Bound the block batch so the fused chunk step's working set (patches +
-    # ~3 same-sized intermediates) stays within a ~2 GB budget.
+    # ~3 same-sized intermediates) fits: a quarter of currently-free device
+    # memory when the runtime reports it, else a 1 GB floor. Bigger chunks =
+    # fewer program dispatches (each costs a round trip on tunneled TPUs).
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
-    bb = max(16, min(block_batch_size, n_blocks, int(1e9 // per_block_bytes)))
+    budget = int(1e9)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+            budget = max(budget, int(free * 0.25))
+    except Exception:
+        pass
+    bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
+    if bb < n_blocks:
+        # Quantize down to a power of two: the batch size is a compiled-
+        # program shape, and free-memory jitter must not spawn new compile
+        # variants. (bb == n_blocks stays: one chunk, no padding.)
+        bb = 1 << (bb.bit_length() - 1)
     if mesh is not None:
         n_dev = mesh.devices.size
         bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
