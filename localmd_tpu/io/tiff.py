@@ -266,6 +266,11 @@ class TiffReader:
         if fmt is None:
             return None
         total = size * count
+        # A corrupt count can claim billions of values; the struct format
+        # string alone would then take minutes to build. No out-of-line
+        # entry can exceed the file itself.
+        if total > len(self._buf):
+            return None
         inline_cap = 8 if self._big else 4
         if total <= inline_cap:
             data = payload[:total]
@@ -303,7 +308,12 @@ class TiffReader:
                 _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
                 _TAG_TILE_OFFSETS, _TAG_TILE_BYTE_COUNTS,
             ):
-                tags[tag] = self._read_entry_values(type_id, count, bytes(payload))
+                values = self._read_entry_values(type_id, count, bytes(payload))
+                if values is None or not values:
+                    # unknown/corrupt entry type id — treat the tag as absent
+                    # so defaults apply or a clear "missing tag" error raises
+                    continue
+                tags[tag] = values
         next_off_pos = base + n * entry_size
         next_ifd = struct.unpack(
             bo + ("Q" if self._big else "I"),
@@ -328,6 +338,8 @@ class TiffReader:
         kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
         if kind is None:
             raise ValueError(f"{self.filename}: unsupported SampleFormat {fmt}")
+        if bits not in (8, 16, 32, 64):
+            raise ValueError(f"{self.filename}: unsupported BitsPerSample {bits}")
         dtype = np.dtype(f"{self._bo}{kind}{bits // 8}")
         predictor = tags.get(_TAG_PREDICTOR, (1,))[0]
         if _TAG_TILE_WIDTH in tags:
@@ -478,8 +490,25 @@ def write_tiff(filename: str, movie: np.ndarray, rows_per_strip: int = 0) -> Non
     movie = np.asarray(movie)
     if movie.ndim != 3:
         raise ValueError("movie must be (T, H, W)")
-    t, h, w = movie.shape
-    dt = movie.dtype.newbyteorder("<")
+    write_tiff_stream(
+        filename, iter(movie), movie.shape, movie.dtype,
+        rows_per_strip=rows_per_strip,
+    )
+
+
+def write_tiff_stream(
+    filename: str,
+    frames,
+    shape: Tuple[int, int, int],
+    dtype,
+    rows_per_strip: int = 0,
+) -> None:
+    """Streaming variant of :func:`write_tiff`: consumes an ITERATOR of
+    (H, W) frames so a movie larger than RAM can be exported chunk by chunk
+    (the uncompressed layout is fully determined by shape/dtype, so all IFDs
+    are emitted up front and frame data appended as produced)."""
+    t, h, w = shape
+    dt = np.dtype(dtype).newbyteorder("<")
     kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
     rps = h if rows_per_strip in (0, None) or rows_per_strip >= h else rows_per_strip
@@ -544,8 +573,15 @@ def write_tiff(filename: str, movie: np.ndarray, rows_per_strip: int = 0) -> Non
                     acc += sb
                 f.write(struct.pack("<" + "I" * n_strips, *offsets))
                 f.write(struct.pack("<" + "I" * n_strips, *strip_bytes))
-        for k in range(t):
-            f.write(np.ascontiguousarray(movie[k]).astype(dt, copy=False).tobytes())
+        n_written = 0
+        for frame in frames:
+            frame = np.asarray(frame)
+            if frame.shape != (h, w):
+                raise ValueError(f"frame shape {frame.shape} != {(h, w)}")
+            f.write(np.ascontiguousarray(frame).astype(dt, copy=False).tobytes())
+            n_written += 1
+        if n_written != t:
+            raise ValueError(f"iterator yielded {n_written} frames, expected {t}")
 
 
 # ---------------------------------------------------------------------------

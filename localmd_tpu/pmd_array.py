@@ -298,6 +298,45 @@ class PMDArray:
     def __exit__(self, exc_type, exc, tb) -> None:
         self.close()
 
+    # -- export -----------------------------------------------------------------
+
+    def export_tiff(
+        self,
+        filename: str,
+        frames=None,
+        chunk_frames: int = 512,
+        dtype="float32",
+    ) -> None:
+        """Write the denoised (reconstructed) movie as a multipage TIFF.
+
+        Streams device reconstruction chunk by chunk into the file — the
+        full movie is never materialized in host RAM, so arbitrarily long
+        exports work. ``dtype`` may be an integer type (e.g. "uint16") for
+        scanner-compatible output; values are clipped to its range.
+        """
+        frame_idx = np.atleast_1d(
+            np.arange(self.num_frames) if frames is None else np.asarray(frames)
+        )
+        out_dt = np.dtype(dtype)
+
+        def _gen():
+            for s in range(0, len(frame_idx), chunk_frames):
+                sub = frame_idx[s : s + chunk_frames]
+                chunk = np.asarray(self.reconstruct_frames(sub))
+                if out_dt.kind in ("u", "i"):
+                    info = np.iinfo(out_dt)
+                    chunk = np.clip(np.rint(chunk), info.min, info.max)
+                yield from chunk.astype(out_dt)
+
+        from localmd_tpu.io.tiff import write_tiff_stream
+
+        write_tiff_stream(
+            filename,
+            _gen(),
+            (len(frame_idx), self.fov_dim1, self.fov_dim2),
+            out_dt,
+        )
+
     # -- serialization ---------------------------------------------------------
 
     def to_npz(self, filename: str) -> None:

@@ -1,3 +1,5 @@
+import struct
+
 import numpy as np
 import pytest
 
@@ -227,6 +229,29 @@ class TestCompressedTiff:
             img.seek(i)
             back.append(np.array(img))
         np.testing.assert_array_equal(np.stack(back), movie)
+
+    def test_corrupt_tiff_raises_not_crashes(self, tmp_path, rng):
+        """Random byte corruption of headers/IFDs must surface as ValueError
+        or numpy errors, never a hang or interpreter crash."""
+        movie = (rng.random((3, 24, 20)) * 1000).astype(np.uint16)
+        clean = str(tmp_path / "clean.tif")
+        write_tiff_compressed(clean, movie, compression="lzw", rows_per_strip=8)
+        blob = bytearray(open(clean, "rb").read())
+        for trial in range(60):
+            corrupted = bytearray(blob)
+            # corrupt up to 4 bytes anywhere in the first 2KB (headers/IFDs)
+            for _ in range(int(rng.integers(1, 5))):
+                pos = int(rng.integers(0, min(2048, len(corrupted))))
+                corrupted[pos] = int(rng.integers(0, 256))
+            path = str(tmp_path / f"bad{trial}.tif")
+            open(path, "wb").write(bytes(corrupted))
+            try:
+                r = TiffReader(path)
+                for i in range(len(r)):
+                    r.read_frame(i)
+            except (ValueError, IndexError, KeyError, OverflowError,
+                    MemoryError, struct.error, EOFError, OSError):
+                pass
 
     def test_unsupported_compression_raises(self, tmp_path, rng):
         movie = (rng.random((1, 16, 16)) * 100).astype(np.uint16)

@@ -300,6 +300,31 @@ class TestOrderC:
         np.testing.assert_allclose(sharded[:, :, :], single[:, :, :], atol=1e-4)
 
 
+class TestExportTiff:
+    def test_export_denoised_movie(self, rng, tmp_path):
+        """Streaming TIFF export of the reconstruction: chunked writes match
+        the full reconstruction, uint16 output clips to range."""
+        from localmd_tpu.io.tiff import TiffReader
+
+        movie = make_low_rank_movie(3, (300, 22, 18), rng)
+        pmd = localmd_decomposition(
+            movie, (11, 10), frame_range=300, max_components=5,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "denoised.tif")
+        pmd.export_tiff(path, chunk_frames=64)  # multiple chunks
+        reader = TiffReader(path)
+        assert len(reader) == 300
+        got = reader.read_frames([0, 150, 299])
+        want = np.asarray(pmd.reconstruct_frames([0, 150, 299]))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        path16 = str(tmp_path / "denoised16.tif")
+        pmd.export_tiff(path16, frames=range(10), dtype="uint16")
+        r16 = TiffReader(path16)
+        assert r16.dtype == np.uint16 and len(r16) == 10
+
+
 class TestBackToBackRuns:
     def test_two_runs_one_process_with_close(self, rng):
         """A library user looping over movies in one process: close() frees
