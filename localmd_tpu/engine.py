@@ -510,7 +510,7 @@ def _rank_simulation_batch(
     return jax.vmap(_one)(keys)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
 def _threshold_kernel(
     key: Array,
     d1: int,
@@ -519,10 +519,15 @@ def _threshold_kernel(
     num_comps: int,
     n_batches: int,
     sim_batch: int,
+    iters: int = 0,
     percentile: Array | float = 5.0,
 ) -> Tuple[Array, Array]:
     """All Monte-Carlo batches + the percentile reduction as ONE program
-    (memory bounded by ``sim_batch`` noise blocks at a time via lax.map)."""
+    (memory bounded by ``sim_batch`` noise blocks at a time via lax.map).
+
+    Batches are whole ``sim_batch``-sized (one compiled shape), but the
+    percentile is taken over exactly the first ``iters`` draws — matching
+    the reference's exact iteration count (decomposition.py:176-181)."""
     batch_keys = jax.random.split(key, n_batches * sim_batch).reshape(
         n_batches, sim_batch, 2
     )
@@ -531,9 +536,10 @@ def _threshold_kernel(
         return _rank_simulation_batch(ks, d1, d2, t, num_comps)
 
     sp, tp = jax.lax.map(one_batch, batch_keys)
+    n_used = iters if iters else n_batches * sim_batch
     return (
-        jnp.percentile(sp.ravel(), percentile),
-        jnp.percentile(tp.ravel(), percentile),
+        jnp.percentile(sp.ravel()[:n_used], percentile),
+        jnp.percentile(tp.ravel()[:n_used], percentile),
     )
 
 
@@ -548,11 +554,11 @@ def threshold_heuristic(
 ) -> Tuple[float, float]:
     """Spatial/temporal roughness cutoffs from a noise-null Monte-Carlo.
 
-    Runs >= ``iters`` simulated decompositions of iid noise blocks (rounded
-    up to a whole number of ``sim_batch`` batches so only one program shape
-    exists) and the percentile reduction in a single compiled program — the
-    reference runs 250 serial host iterations with per-iteration key
-    transfers (decomposition.py:171-189).
+    Simulates in whole ``sim_batch``-sized batches (one program shape) but
+    takes the percentile over exactly ``iters`` draws, matching the
+    reference's iteration count; everything runs in a single compiled
+    program — the reference runs 250 serial host iterations with
+    per-iteration key transfers (decomposition.py:171-189).
 
     With ``as_device`` the thresholds are returned as device scalars: the
     downstream block kernels take them as traced arguments, so the pipeline
@@ -566,7 +572,8 @@ def threshold_heuristic(
     d1, d2, t = dimensions
     n_batches = max(1, -(-iters // sim_batch))
     s_thr, t_thr = _threshold_kernel(
-        key, d1, d2, t, num_comps, n_batches, sim_batch, percentile_threshold
+        key, d1, d2, t, num_comps, n_batches, sim_batch, iters,
+        percentile_threshold,
     )
     if as_device:
         return s_thr, t_thr
