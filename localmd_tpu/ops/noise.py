@@ -123,6 +123,17 @@ def get_mean_chunk(movie: Array, mean_divisor: int | Array) -> Array:
 #    :43-94 parity; batched over leading dims instead of per-trace vmap) ------
 
 
+# reference-name aliases (preprocessing_utils.py:28, :60); the batched
+# implementations accept a single (T,) trace as the degenerate batch
+get_noise_estimate = welch_noise_estimate
+
+
+@jax.jit
+def get_mean(trace: Array) -> Array:
+    """Per-trace mean (reference preprocessing_utils.py:60-62)."""
+    return jnp.mean(trace, axis=-1)
+
+
 @jax.jit
 def center(traces: Array) -> Array:
     """Subtract each trace's mean: (..., T) -> (..., T)."""
