@@ -108,6 +108,19 @@ def _to_fov_f32(raw: Array) -> Array:
     return jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
 
 
+def _standardize_project(
+    x: Array, mean_img: Array, std_img: Array, basis_flat: Array, order: str
+) -> Tuple[Array, Array]:
+    """Shared core: standardize a (d1, d2, t) f32 chunk and project out the
+    background basis. Called inside jitted wrappers only."""
+    d1, d2, t = x.shape
+    x = (x - mean_img[:, :, None]) / std_img[:, :, None]
+    flat = flatten_fov(x, order)
+    temporal_projection = _mm(basis_flat.T, flat)
+    flat = flat - _mm(basis_flat, temporal_projection)
+    return unflatten_fov(flat, d1, d2, order), temporal_projection
+
+
 @functools_partial(jax.jit, static_argnums=(4,))
 def _standardize_and_filter_raw(
     raw: Array,
@@ -122,12 +135,7 @@ def _standardize_and_filter_raw(
     eager version peaks at 4 movie-sized buffers and OOMs a 16 GB chip for
     1024^2 x 1024 inputs."""
     x = jnp.moveaxis(raw, 0, -1).astype(jnp.float32)
-    d1, d2, t = x.shape
-    x = (x - mean_img[:, :, None]) / std_img[:, :, None]
-    flat = flatten_fov(x, order)
-    temporal_projection = _mm(spatial_basis_flat.T, flat)
-    flat = flat - _mm(spatial_basis_flat, temporal_projection)
-    return unflatten_fov(flat, d1, d2, order), temporal_projection
+    return _standardize_project(x, mean_img, std_img, spatial_basis_flat, order)
 
 
 @functools_partial(jax.jit, static_argnums=(5, 6))
@@ -165,12 +173,7 @@ def standardize_and_filter(
     projection (K, t). Parity: reference ``standardize_and_filter``
     (pmd_loader.py:374-389).
     """
-    d1, d2, t = data.shape
-    data = (data - mean_img[:, :, None]) / std_img[:, :, None]
-    flat = flatten_fov(data, order)                       # (d, t)
-    temporal_projection = _mm(spatial_basis_flat.T, flat)  # (K, t)
-    flat = flat - _mm(spatial_basis_flat, temporal_projection)
-    return unflatten_fov(flat, d1, d2, order), temporal_projection
+    return _standardize_project(data, mean_img, std_img, spatial_basis_flat, order)
 
 
 @functools_partial(jax.jit, donate_argnums=(0,))
