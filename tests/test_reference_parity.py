@@ -230,11 +230,21 @@ class TestSketchInjectionParity:
                 compute_normalizer=False, seed=0, final_rank_tol=0.0,
             )
             recon_ours = ours[:, :, :]
+            # order='C' changes only the pixel-id convention, so it must hit
+            # the same numerical bar against the (F-order) reference.
+            ours_c = localmd_decomposition(
+                movie, (16, 16), frame_range=T, max_components=R,
+                background_rank=2, temporal_avg_factor=4,
+                compute_normalizer=False, seed=0, final_rank_tol=0.0,
+                order="C",
+            )
+            recon_ours_c = ours_c[:, :, :]
 
-        diff = np.linalg.norm(recon_ours - recon_theirs) / np.linalg.norm(
-            recon_theirs
-        )
+        norm = np.linalg.norm(recon_theirs)
+        diff = np.linalg.norm(recon_ours - recon_theirs) / norm
         assert diff <= 1e-5, diff
+        diff_c = np.linalg.norm(recon_ours_c - recon_theirs) / norm
+        assert diff_c <= 1e-5, diff_c
 
 
 class TestSerializationCrossCompat:
