@@ -76,6 +76,12 @@ def main():
     index = diagnostics.construct_index(comp_dir)
     print(f"Component browser: {index}")
 
+    # ---- 6. denoised movie export + cleanup -----------------------------------
+    denoised_path = os.path.join(out_dir, "denoised.tif")
+    pmd.export_tiff(denoised_path, frames=range(n_qc), dtype="uint16")
+    print(f"Denoised movie: {denoised_path}")
+    pmd.close()  # release device factors (host slicing keeps working)
+
 
 if __name__ == "__main__":
     main()
