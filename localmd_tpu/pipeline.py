@@ -362,7 +362,7 @@ def localmd_decomposition(
         stats = jax.devices()[0].memory_stats()
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
-            budget = max(budget, int(free * 0.25))
+            budget = max(budget, int(free * 0.4))
     except Exception:
         pass
     bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
