@@ -217,6 +217,7 @@ class PMDLoader:
         seed: Optional[int] = None,
         num_workers: Optional[int] = None,
         precomputed: Optional[dict] = None,
+        welch_compat: str = "scipy",
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -232,6 +233,18 @@ class PMDLoader:
         self.background_rank = background_rank
         self.frame_constant = frame_constant
         self._compute_normalizer = compute_normalizer
+        # "scipy": documented 256-sample-segment Welch semantics (default —
+        # averages ~7 segments per 1024-frame chunk, the statistically
+        # sounder estimate). "reference": reproduce the reference's
+        # *effective* noise output — one full-chunk-length periodogram with
+        # the hardcoded [65, 129) band (see
+        # ops.noise.welch_noise_estimate_ref_compat) — for strict std_img /
+        # end-to-end numerical parity with the reference package.
+        if welch_compat not in ("scipy", "reference"):
+            raise ValueError(
+                f"welch_compat must be 'scipy' or 'reference', got {welch_compat!r}"
+            )
+        self.welch_compat = welch_compat
         self._key = make_key(seed)
         # The reference spawns torch DataLoader worker *processes*
         # (pmd_loader.py:155-168); here IO is thread-based, so num_workers
@@ -356,18 +369,27 @@ class PMDLoader:
         ):
             t_c = raw.shape[0]
             with_noise = normalizer_flag and t_c >= MIN_NOISE_FRAMES
+            ref_compat = self.welch_compat == "reference"
             if use_pallas:
+                from localmd_tpu.ops.noise import NPERSEG
                 from localmd_tpu.ops.pallas_kernels import fused_movie_stats
 
                 chunk2d = jnp.asarray(raw).reshape(t_c, d1 * d2)
                 m_flat, sig_flat = fused_movie_stats(
-                    chunk2d, t_total, compute_noise=with_noise
+                    chunk2d,
+                    t_total,
+                    compute_noise=with_noise,
+                    nperseg=t_c if ref_compat else NPERSEG,
                 )
                 m = m_flat.reshape(d1, d2)
                 sig = sig_flat.reshape(d1, d2)
             else:
+                from localmd_tpu.ops.noise import get_mean_and_noise_ref_compat
+
                 chunk = _to_fov_f32(jnp.asarray(raw))
-                if with_noise:
+                if with_noise and ref_compat:
+                    m, sig = get_mean_and_noise_ref_compat(chunk, t_total)
+                elif with_noise:
                     m, sig = get_mean_and_noise(chunk, t_total)
                 else:
                     m = get_mean_chunk(chunk, t_total)

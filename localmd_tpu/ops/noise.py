@@ -38,19 +38,24 @@ def _hann_periodic(n: int, dtype) -> Array:
     return 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * i / n)
 
 
-def _band_dft_matrices(dtype):
+def _band_dft_matrices(dtype, nperseg: int = NPERSEG):
     """Windowed real-DFT matrices for bins [_BAND_START, _BAND_END) only.
 
     TPU has no native FFT (XLA emulates it slowly for big batches of short
-    transforms); we only need 64 of 129 rfft bins, so evaluate them as two
+    transforms); we only need 64 of the rfft bins, so evaluate them as two
     (nperseg, n_bins) matmuls on the MXU instead. The Hann window is folded
     into the matrices; constant detrend folds in as a rank-1 correction
     (F @ (w*(x - m)) = F_w @ x - m * (F_w @ 1)).
+
+    ``nperseg`` is the segment/transform length: 256 for the documented
+    scipy semantics; the full trace length for the reference-compat mode
+    (see :func:`welch_noise_estimate_ref_compat`). The band indices stay
+    [65, 129) either way — that is the reference's hardcoded arithmetic.
     """
-    n = jnp.arange(NPERSEG, dtype=dtype)[:, None]
+    n = jnp.arange(nperseg, dtype=dtype)[:, None]
     k = jnp.arange(_BAND_START, _BAND_END, dtype=dtype)[None, :]
-    ang = (-2.0 * jnp.pi / NPERSEG) * n * k
-    win = _hann_periodic(NPERSEG, dtype)[:, None]
+    ang = (-2.0 * jnp.pi / nperseg) * n * k
+    win = _hann_periodic(nperseg, dtype)[:, None]
     cos_m = jnp.cos(ang) * win                       # (nperseg, n_bins)
     sin_m = jnp.sin(ang) * win
     return cos_m, sin_m, cos_m.sum(axis=0), sin_m.sum(axis=0)
@@ -79,8 +84,13 @@ def welch_noise_estimate(traces: Array) -> Array:
 
     cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(dtype)
     m = jnp.mean(segs, axis=-1, keepdims=True)                    # detrend='constant'
-    re = jnp.matmul(segs, cos_m, preferred_element_type=jnp.float32) - m * cos_1
-    im = jnp.matmul(segs, sin_m, preferred_element_type=jnp.float32) - m * sin_1
+    # full f32 precision: sigma feeds the global standardization, where
+    # 1-pass bf16 MXU error would put a ~1e-3 floor under every parity bar
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(segs, cos_m, preferred_element_type=jnp.float32,
+                    precision=hi) - m * cos_1
+    im = jnp.matmul(segs, sin_m, preferred_element_type=jnp.float32,
+                    precision=hi) - m * sin_1
 
     # density scaling: 1 / (fs * sum(win^2)); one-sided doubling then the
     # reference's x0.5 cancel for interior bins, so apply neither and keep
@@ -96,6 +106,63 @@ def welch_noise_estimate(traces: Array) -> Array:
     # Nyquist where onesided == p, so ref's 0.5*onesided = 0.5*p there).
     band = band.at[..., -1].multiply(0.5)
     return jnp.sqrt(jnp.mean(band, axis=-1))
+
+
+@jax.jit
+def welch_noise_estimate_ref_compat(traces: Array) -> Array:
+    """Per-trace noise sigma reproducing the reference's *effective* output.
+
+    The reference calls ``jax.scipy.signal.welch(trace, noverlap=128)`` with
+    ``nperseg`` unspecified and hardcodes band indices for nperseg=256
+    (reference preprocessing_utils.py:28-37) — but jax's ``_triage_segments``
+    sets ``nperseg = len(trace)`` when unspecified, so the reference actually
+    computes ONE full-length Hann periodogram per trace and averages bins
+    [65, 129) of the T-point one-sided density PSD (a *mid*-frequency band
+    for the usual 1024-frame stats chunks, not the documented upper half).
+    This kernel reproduces that arithmetic in closed form, batched over
+    (..., T): constant detrend, full-length Hann window, partial DFT at bins
+    65..128 by matmul, density scaling, one-sided doubling for interior bins
+    (the reference's x0.5 then cancels it), Nyquist-bin halving only when
+    T == 256. Verified to match jax-welch to f32 roundoff at T in
+    {256, 300, 512, 1024}.
+    """
+    t = traces.shape[-1]
+    if t < 2 * (_BAND_END - 1):
+        raise ValueError(
+            f"reference-compat noise estimate needs at least "
+            f"{2 * (_BAND_END - 1)} frames, got {t}"
+        )
+    dtype = jnp.promote_types(traces.dtype, jnp.float32)
+    traces = traces.astype(dtype)
+
+    cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(dtype, nperseg=t)
+    m = jnp.mean(traces, axis=-1, keepdims=True)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(traces, cos_m, preferred_element_type=jnp.float32,
+                    precision=hi) - m * cos_1
+    im = jnp.matmul(traces, sin_m, preferred_element_type=jnp.float32,
+                    precision=hi) - m * sin_1
+
+    win = _hann_periodic(t, dtype)
+    scale = 1.0 / jnp.sum(win * win)
+    p = (re * re + im * im) * scale                  # two-sided density value
+    # one-sided doubling (k < t/2) x reference 0.5 -> 1; Nyquist (k == t/2,
+    # only reachable at t == 256) stays undoubled -> 0.5
+    k = jnp.arange(_BAND_START, _BAND_END)
+    mult = jnp.where(2 * k < t, 1.0, 0.5).astype(dtype)
+    band = p * mult
+    return jnp.sqrt(jnp.mean(band, axis=-1))
+
+
+@jax.jit
+def get_mean_and_noise_ref_compat(
+    movie: Array, mean_divisor: int | Array
+) -> Tuple[Array, Array]:
+    """Chunk mean + reference-effective noise sigma (see
+    :func:`welch_noise_estimate_ref_compat`)."""
+    partial_mean = jnp.sum(movie, axis=2) / mean_divisor
+    noise = welch_noise_estimate_ref_compat(movie)
+    return partial_mean, noise
 
 
 @jax.jit

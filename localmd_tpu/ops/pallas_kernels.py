@@ -71,9 +71,10 @@ def _stats_kernel(
     n_segs: int,
     mean_divisor: float,
     compute_noise: bool,
+    nperseg: int,
     chunk_ref,      # (T, TILE_P) native dtype
-    cos_t_ref,      # (64, 256) f32 — transposed windowed cos DFT
-    sin_t_ref,      # (64, 256) f32
+    cos_t_ref,      # (64, nperseg) f32 — transposed windowed cos DFT
+    sin_t_ref,      # (64, nperseg) f32
     cos1_ref,       # (64, 1) f32 — column sums (detrend correction)
     sin1_ref,       # (64, 1) f32
     mean_ref,       # (n_tiles, TILE_P) f32 out (whole array resident)
@@ -87,14 +88,15 @@ def _stats_kernel(
         sigma_ref[i, :] = jnp.zeros((sigma_ref.shape[1],), jnp.float32)
         return
 
+    step = nperseg - 128  # noverlap=128 (reference welch call signature)
     # tpu.iota only supports integer types; cast after
-    idx = jax.lax.broadcasted_iota(jnp.int32, (NPERSEG, 1), 0).astype(jnp.float32)
-    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * idx / NPERSEG)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (nperseg, 1), 0).astype(jnp.float32)
+    win = 0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * idx / nperseg)
     scale = 1.0 / jnp.sum(win * win)
 
     acc = jnp.zeros((_N_BINS, TILE_P), dtype=jnp.float32)
     for s in range(n_segs):
-        seg = x[s * _STEP : s * _STEP + NPERSEG, :]       # (256, TILE_P)
+        seg = x[s * step : s * step + nperseg, :]         # (nperseg, TILE_P)
         m = jnp.mean(seg, axis=0, keepdims=True)          # (1, TILE_P)
         re = jnp.dot(cos_t_ref[:], seg, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -105,15 +107,21 @@ def _stats_kernel(
         acc = acc + re * re + im * im
 
     band = acc * (scale / n_segs)
-    # halve the Nyquist bin (last row) — reference band arithmetic
-    is_nyq = jax.lax.broadcasted_iota(jnp.int32, (_N_BINS, TILE_P), 0) == _N_BINS - 1
-    band = jnp.where(is_nyq, band * 0.5, band)
+    # bins [65, 129): one-sided doubling x reference 0.5 cancel for interior
+    # bins; a bin AT Nyquist (2k == nperseg, i.e. bin 128 when nperseg=256)
+    # is undoubled so the reference 0.5 survives (same arithmetic as
+    # ops.noise.welch_noise_estimate / _ref_compat)
+    k = _BAND_START + jax.lax.broadcasted_iota(jnp.int32, (_N_BINS, TILE_P), 0)
+    band = jnp.where(2 * k >= nperseg, band * 0.5, band)
     sigma_ref[i, :] = jnp.sqrt(jnp.mean(band, axis=0))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def fused_movie_stats(
-    chunk2d: Array, mean_divisor: int, compute_noise: bool = True
+    chunk2d: Array,
+    mean_divisor: int,
+    compute_noise: bool = True,
+    nperseg: int = NPERSEG,
 ) -> Tuple[Array, Array]:
     """Per-pixel mean + Welch sigma of a (T, P) raw chunk, single HBM pass.
 
@@ -124,22 +132,28 @@ def fused_movie_stats(
             preprocessing_utils.py:10-20).
         compute_noise: if False only the mean is computed (short chunks,
             reference pmd_loader.py:276-280); sigma output is zeros.
+        nperseg: Welch segment length. 256 = documented scipy semantics
+            (the default); pass T for ``welch_compat="reference"`` (one
+            full-length periodogram — the reference's effective behavior,
+            see ops.noise.welch_noise_estimate_ref_compat).
 
     Returns:
         (mean (P,), sigma (P,)) float32 on device.
     """
     t, p = chunk2d.shape
-    if compute_noise and t < NPERSEG:
-        raise ValueError(f"need at least {NPERSEG} frames for the noise estimate")
-    n_segs = (t - NPERSEG) // _STEP + 1 if compute_noise else 0
+    if compute_noise and t < nperseg:
+        raise ValueError(f"need at least {nperseg} frames for the noise estimate")
+    if compute_noise and nperseg < 2 * (_BAND_END - 1):
+        raise ValueError(f"nperseg must be >= {2 * (_BAND_END - 1)}, got {nperseg}")
+    n_segs = (t - nperseg) // (nperseg - 128) + 1 if compute_noise else 0
 
     p_pad = ((p + TILE_P - 1) // TILE_P) * TILE_P
     if p_pad != p:
         chunk2d = jnp.pad(chunk2d, ((0, 0), (0, p_pad - p)))
 
-    cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(jnp.float32)
+    cos_m, sin_m, cos_1, sin_1 = _band_dft_matrices(jnp.float32, nperseg=nperseg)
     kernel = functools.partial(
-        _stats_kernel, n_segs, float(mean_divisor), compute_noise
+        _stats_kernel, n_segs, float(mean_divisor), compute_noise, nperseg
     )
 
     grid = (p_pad // TILE_P,)
@@ -148,8 +162,8 @@ def fused_movie_stats(
         grid=grid,
         in_specs=[
             pl.BlockSpec((t, TILE_P), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_BINS, NPERSEG), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_N_BINS, NPERSEG), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, nperseg), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_N_BINS, nperseg), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_N_BINS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_N_BINS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

@@ -100,6 +100,7 @@ def localmd_decomposition(
     checkpoint_path: Optional[str] = None,
     matmul_precision: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    welch_compat: str = "scipy",
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -117,6 +118,12 @@ def localmd_decomposition(
     jax's default matmul precision for the whole pipeline — on TPU, f32
     matmuls decompose into multiple bf16 MXU passes, so "bfloat16" trades
     ~1e-3 relative accuracy for up to ~3-6x matmul throughput.
+
+    ``welch_compat``: "scipy" (default) estimates per-pixel noise with the
+    documented 256-sample-segment Welch semantics; "reference" reproduces
+    the reference package's *effective* std_img (one full-chunk-length
+    periodogram, hardcoded [65, 129) band — see
+    ops.noise.welch_noise_estimate_ref_compat) for strict numerical parity.
     """
     if profile_dir is not None:
         # capture a jax profiler trace of the whole pipeline (viewable in
@@ -139,6 +146,7 @@ def localmd_decomposition(
                 final_rank_tol=final_rank_tol, mesh=mesh,
                 checkpoint_path=checkpoint_path,
                 matmul_precision=matmul_precision, profile_dir=None,
+                welch_compat=welch_compat,
             )
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
@@ -158,6 +166,7 @@ def localmd_decomposition(
                 block_batch_size=block_batch_size, sim_iters=sim_iters,
                 final_rank_tol=final_rank_tol, mesh=mesh,
                 checkpoint_path=checkpoint_path, matmul_precision=None,
+                welch_compat=welch_compat,
             )
     from localmd_tpu.checkpoint import PipelineCheckpoint
     import time as _time
@@ -212,6 +221,7 @@ def localmd_decomposition(
             temporal_avg_factor=temporal_avg_factor,
             spatial_avg_factor=spatial_avg_factor, order=order,
             window_chunks=window_chunks, seed=seed, sim_iters=sim_iters,
+            welch_compat=welch_compat,
             pixel_weighting=pixel_weighting_token,
             spatial_denoiser=_fn_token(spatial_denoiser),
             temporal_denoiser=_fn_token(temporal_denoiser),
@@ -237,6 +247,7 @@ def localmd_decomposition(
         seed=seed,
         num_workers=num_workers,
         precomputed=precomputed or None,
+        welch_compat=welch_compat,
     )
     if not ckpt.has("stats"):
         ckpt.save("stats", mean_img=load_obj.mean_img, std_img=load_obj.std_img)

@@ -115,6 +115,35 @@ class TestWelchNoise:
         out = welch_noise_estimate(jnp.asarray(x))
         assert out.shape == (4, 6)
 
+    def test_ref_compat_matches_jax_welch(self, rng):
+        """welch_noise_estimate_ref_compat vs jax.scipy.signal.welch driven
+        exactly the way the reference drives it (nperseg unspecified ->
+        nperseg = len(trace); reference preprocessing_utils.py:28-37)."""
+        import jax.scipy.signal as jss
+
+        from localmd_tpu.ops.noise import welch_noise_estimate_ref_compat
+
+        for t in (256, 300, 512, 1024):
+            traces = rng.standard_normal((4, t)).astype(np.float32) * 1.7
+            ours = np.asarray(
+                welch_noise_estimate_ref_compat(jnp.asarray(traces))
+            )
+            expected = []
+            for tr in traces:
+                _, pxx = jss.welch(jnp.asarray(tr), noverlap=128)
+                band = np.asarray(pxx)[65:129] * 0.5
+                expected.append(np.sqrt(band.mean()))
+            np.testing.assert_allclose(ours, np.asarray(expected), rtol=2e-5,
+                                       err_msg=f"t={t}")
+
+    def test_ref_compat_rejects_short_traces(self, rng):
+        from localmd_tpu.ops.noise import welch_noise_estimate_ref_compat
+
+        with pytest.raises(ValueError):
+            welch_noise_estimate_ref_compat(
+                jnp.asarray(rng.standard_normal((2, 200)).astype(np.float32))
+            )
+
 
 class TestRoughness:
     def _spatial_oracle(self, u):

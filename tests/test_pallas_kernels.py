@@ -30,6 +30,25 @@ class TestFusedMovieStats:
         )
         np.testing.assert_allclose(np.asarray(sigma), expected_sigma, rtol=1e-3)
 
+    def test_ref_compat_nperseg_matches_xla_path(self, rng):
+        """nperseg = chunk length (welch_compat="reference") in the pallas
+        kernel vs the XLA reference-compat kernel."""
+        from localmd_tpu.ops.noise import welch_noise_estimate_ref_compat
+
+        for t in (300, 512):
+            p = 600
+            chunk = rng.standard_normal((t, p)).astype(np.float32) * 1.3
+            mean, sigma = fused_movie_stats(jnp.asarray(chunk), t, nperseg=t)
+            expected_sigma = np.asarray(
+                welch_noise_estimate_ref_compat(jnp.asarray(chunk.T))
+            )
+            np.testing.assert_allclose(
+                np.asarray(sigma), expected_sigma, rtol=1e-3, err_msg=f"t={t}"
+            )
+            np.testing.assert_allclose(
+                np.asarray(mean), chunk.mean(axis=0), rtol=1e-4, atol=1e-6
+            )
+
     def test_mean_only_mode(self, rng):
         t, p = 100, 512  # too short for welch
         chunk = rng.standard_normal((t, p)).astype(np.float32)

@@ -68,6 +68,42 @@ class TestStatisticsParity:
         theirs = np.array([float(ref_noise(jnp.asarray(t))) for t in traces])
         np.testing.assert_allclose(ours, theirs, rtol=1e-4)
 
+    def test_noise_estimate_ref_compat_formula(self, reference_localmd, rng):
+        """welch_compat="reference" vs the LIVE reference ``get_noise_estimate``
+        at off-256 trace lengths — exactly where the documented 256-segment
+        semantics and the reference's effective (nperseg = len(trace))
+        behavior diverge (see the note above)."""
+        import jax.numpy as jnp
+        from localmd.preprocessing_utils import get_noise_estimate as ref_noise
+
+        from localmd_tpu.ops.noise import welch_noise_estimate_ref_compat
+
+        for t in (1024, 512, 300, 256):
+            traces = rng.standard_normal((6, t)).astype(np.float32) * 2.0
+            ours = np.asarray(welch_noise_estimate_ref_compat(jnp.asarray(traces)))
+            theirs = np.array([float(ref_noise(jnp.asarray(tr))) for tr in traces])
+            np.testing.assert_allclose(ours, theirs, rtol=2e-5, err_msg=f"t={t}")
+
+    def test_std_images_match_ref_compat(self, reference_localmd, test_movie):
+        """With welch_compat="reference" the std_img must match the reference
+        loader to rtol 1e-4 (the strict bar; the scipy-mode test below only
+        bounds the ratio because that mode intentionally deviates)."""
+        from localmd.pmd_loader import PMDLoader as RefLoader
+
+        from localmd_tpu.loader import PMDLoader
+
+        ours = PMDLoader(
+            test_movie, background_rank=2, seed=0, welch_compat="reference"
+        )
+        np.random.seed(0)
+        theirs = RefLoader(test_movie, background_rank=2, num_workers=0)
+        np.testing.assert_allclose(
+            ours.mean_img, theirs.mean_img, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            ours.std_img, np.asarray(theirs.std_img), rtol=1e-4
+        )
+
     def test_mean_images_match(self, reference_localmd, test_movie):
         """PMDLoader mean image vs the reference loader on identical data."""
         from localmd.pmd_loader import PMDLoader as RefLoader
@@ -153,20 +189,8 @@ class TestSketchInjectionParity:
 
         return jax.random.normal(jax.random.PRNGKey(1234), shape)
 
-    def test_full_pipeline_frobenius_1e5(
-        self, reference_localmd, monkeypatch
-    ):
-        import jax
-        import jax.numpy as jnp
-        import localmd.decomposition as ref_dec
-        from localmd.pmd_loader import PMDLoader as RefLoader
-
-        import localmd_tpu.pipeline as our_pipeline
-        from localmd_tpu import localmd_decomposition
-        from localmd_tpu.ops.linalg import sketch_override
-
-        fixed = self._fixed_sketch
-
+    @staticmethod
+    def _make_movie():
         # A movie whose per-block signal rank equals max_components, so the
         # kept subspaces are spectrally well-separated from the noise floor
         # (near-degenerate noise directions are NOT comparable across
@@ -178,9 +202,18 @@ class TestSketchInjectionParity:
         temporal *= np.asarray([8.0, 6.0, 4.5, 3.0], np.float32)[:, None]
         movie = (spatial @ temporal).T.reshape(T, d1, d2)
         movie += 1e-4 * rng.standard_normal(movie.shape).astype(np.float32)
-        movie = movie.astype(np.float32)
+        return movie.astype(np.float32), T, R
 
-        # -- reference with injected sketches / pinned thresholds ----------
+    @classmethod
+    def _patch_reference(cls, monkeypatch):
+        """Inject fixed sketches / pinned thresholds into the live reference."""
+        import jax
+        import jax.numpy as jnp
+        import localmd.decomposition as ref_dec
+        from localmd.pmd_loader import PMDLoader as RefLoader
+
+        fixed = cls._fixed_sketch
+
         def ref_trsvd_injected(input_matrix, key, rank_placeholder):
             rank = rank_placeholder.shape[0]
             t = input_matrix.shape[1]
@@ -211,6 +244,17 @@ class TestSketchInjectionParity:
             RefLoader, "_calculate_background_filter", ref_background_injected
         )
         jax.clear_caches()  # reference kernels may be traced with the originals
+
+    def test_full_pipeline_frobenius_1e5(
+        self, reference_localmd, monkeypatch
+    ):
+        import localmd_tpu.pipeline as our_pipeline
+        from localmd_tpu import localmd_decomposition
+        from localmd_tpu.ops.linalg import sketch_override
+
+        fixed = self._fixed_sketch
+        movie, T, R = self._make_movie()
+        self._patch_reference(monkeypatch)
         np.random.seed(0)
         theirs = reference_localmd.localmd_decomposition(
             movie, (16, 16), frame_range=T, max_components=R,
@@ -245,6 +289,42 @@ class TestSketchInjectionParity:
         assert diff <= 1e-5, diff
         diff_c = np.linalg.norm(recon_ours_c - recon_theirs) / norm
         assert diff_c <= 1e-5, diff_c
+
+    def test_full_pipeline_frobenius_1e5_with_normalizer(
+        self, reference_localmd, monkeypatch
+    ):
+        """Full-strength parity: compute_normalizer=True, so the reference's
+        effective Welch std_img is on the critical path. welch_compat=
+        "reference" must carry the whole pipeline to the same <= 1e-5 bar."""
+        import localmd_tpu.pipeline as our_pipeline
+        from localmd_tpu import localmd_decomposition
+        from localmd_tpu.ops.linalg import sketch_override
+
+        movie, T, R = self._make_movie()
+        self._patch_reference(monkeypatch)
+        np.random.seed(0)
+        theirs = reference_localmd.localmd_decomposition(
+            movie, (16, 16), frame_range=T, max_components=R,
+            background_rank=2, temporal_avg_factor=4,
+            compute_normalizer=True, num_workers=0,
+        )
+        recon_theirs = theirs[:, :, :]
+
+        monkeypatch.setattr(
+            our_pipeline, "threshold_heuristic", lambda *a, **k: (1e9, 1e9)
+        )
+        with sketch_override(self._fixed_sketch):
+            ours = localmd_decomposition(
+                movie, (16, 16), frame_range=T, max_components=R,
+                background_rank=2, temporal_avg_factor=4,
+                compute_normalizer=True, welch_compat="reference",
+                seed=0, final_rank_tol=0.0,
+            )
+            recon_ours = ours[:, :, :]
+
+        norm = np.linalg.norm(recon_theirs)
+        diff = np.linalg.norm(recon_ours - recon_theirs) / norm
+        assert diff <= 1e-5, diff
 
 
 class TestSerializationCrossCompat:
