@@ -28,7 +28,7 @@ from localmd_tpu.serialization import save_decomposition, load_decomposition
 from localmd_tpu.volumetric import VolumetricPMD, volumetric_decomposition
 from localmd_tpu.dataset import DeviceMovie
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "localmd_decomposition",

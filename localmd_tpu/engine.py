@@ -407,6 +407,18 @@ def _windowed_loop_jit(
     )
 
 
+def effective_window_length(window_length: int, t: int, temporal_avg_factor: int) -> int:
+    """The window length actually used by the windowed loop: clamped to the
+    movie and rounded down to a multiple of the binning factor
+    (_bin_consecutive reshapes (t // f, f); an indivisible window would
+    error deep in jit)."""
+    window_length = min(window_length, t)
+    return max(
+        temporal_avg_factor,
+        (window_length // temporal_avg_factor) * temporal_avg_factor,
+    )
+
+
 def window_keys(key: Array, n_windows: int, n_blocks: int) -> Array:
     """(n_windows, n_blocks, 2) per-(window, block) PRNG keys, split in the
     same sequence the round-1 host loop used (window w's sub-key is the w-th
@@ -445,15 +457,17 @@ def windowed_pmd_batched(
     the mesh; ``n`` must be divisible by the mesh size.
     """
     n, b1, b2, t = blocks.shape
-    window_length = min(window_length, t)
-    # Round down to a multiple of the binning factor: _bin_consecutive
-    # reshapes (t // f, f), and an indivisible window would error deep in jit.
-    window_length = max(
-        temporal_avg_factor,
-        (window_length // temporal_avg_factor) * temporal_avg_factor,
-    )
+    window_length = effective_window_length(window_length, t, temporal_avg_factor)
     n_windows = len(range(0, t, window_length))
-    keys_all = window_keys(key, n_windows, n)
+    # ``key`` is either a single PRNG key (split per (window, block) here) or
+    # precomputed (n_windows, n, 2) keys — the pipeline pre-splits one key
+    # per (window, block) over the GLOBAL block grid so results don't depend
+    # on how blocks were chunked into batches (seeded reproducibility).
+    keys_all = key if key.ndim == 3 else window_keys(key, n_windows, n)
+    if keys_all.shape[:2] != (n_windows, n):
+        raise ValueError(
+            f"precomputed keys shape {keys_all.shape[:2]} != {(n_windows, n)}"
+        )
     sthr = jnp.asarray(spatial_threshold, jnp.float32)
     tthr = jnp.asarray(temporal_threshold, jnp.float32)
 

@@ -250,7 +250,11 @@ class PMDLoader:
         # (pmd_loader.py:155-168); here IO is thread-based, so num_workers
         # maps onto prefetch depth and the native reader's thread count.
         self.num_workers = int(num_workers) if num_workers else 0
-        self._prefetch_depth = max(2, self.num_workers)
+        # Queue depth is capped independently of the IO thread count (which
+        # is forwarded via set_io_threads below): each queued item is a fully
+        # materialized native-dtype chunk, so scaling depth with num_workers
+        # would hold ~num_workers stream chunks in host RAM at once.
+        self._prefetch_depth = max(2, min(self.num_workers, 4))
         if self.num_workers and hasattr(self.dataset, "set_io_threads"):
             self.dataset.set_io_threads(self.num_workers)
 

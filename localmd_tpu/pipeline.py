@@ -203,11 +203,18 @@ def localmd_decomposition(
         if fn is None:
             return None
         name = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
-        # Include a bytecode hash so editing the function body (not just its
-        # name) also invalidates resumable stages.
+        # Include bytecode + constants + closure contents so editing the
+        # function body — including a constant (x * 0.5 -> x * 0.7) or a
+        # captured value — also invalidates resumable stages.
         code = getattr(fn, "__code__", None)
         if code is not None:
-            name += ":" + hashlib.sha256(code.co_code).hexdigest()[:12]
+            payload = code.co_code + repr(code.co_consts).encode()
+            for cell in getattr(fn, "__closure__", None) or ():
+                try:
+                    payload += repr(cell.cell_contents).encode()
+                except ValueError:  # empty cell
+                    payload += b"<empty>"
+            name += ":" + hashlib.sha256(payload).hexdigest()[:12]
         return name
 
     ckpt = PipelineCheckpoint(
@@ -363,6 +370,19 @@ def localmd_decomposition(
 
     starts_host = grid.starts
     panels_chunks, counts_chunks, temporal_chunks = [], [], []
+    # One PRNG key per (window,) block over the GLOBAL grid, split before the
+    # batch loop: the batch size below is derived from free device memory, so
+    # per-batch splitting would make a fixed seed yield different sketches
+    # whenever free memory differs (e.g. after a prior in-process run).
+    key, sub = jax.random.split(key)
+    if single_window:
+        block_keys = jax.random.split(sub, n_blocks)          # (N, 2)
+    else:
+        wl_eff = engine.effective_window_length(
+            window_len, crop_avg_constant, temporal_avg_factor
+        )
+        n_windows_global = len(range(0, crop_avg_constant, wl_eff))
+        block_keys = engine.window_keys(sub, n_windows_global, n_blocks)
     # Bound the block batch so the fused chunk step's working set (patches +
     # ~3 same-sized intermediates) fits: a quarter of currently-free device
     # memory when the runtime reports it, else a 1 GB floor. Bigger chunks =
@@ -397,8 +417,9 @@ def localmd_decomposition(
         pad = bb - len(idx)
         idx_padded = np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
         starts_batch = jnp.asarray(starts_host[idx_padded])
-        key, sub = jax.random.split(key)
-        keys_batch = jax.random.split(sub, bb)
+        keys_batch = jnp.asarray(
+            block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
+        )
         if single_window:
             # Default path: the whole chunk pipeline (gather -> decompose ->
             # filter/pack -> project) is ONE compiled program; with a mesh it
@@ -429,7 +450,7 @@ def localmd_decomposition(
             patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
             result = windowed_pmd_batched(
                 patch_batch,
-                sub,
+                keys_batch,
                 window_len,
                 max_components,
                 spatial_threshold,
@@ -520,7 +541,10 @@ def localmd_decomposition(
             expected_rank=total_rank + k_bg,
         )
         ckpt.save("projector", p=p)
-    display(f"Rank after reduction: {p.shape[1]}")
+    # p.shape[1] is an upper bound: the device-side top-k cut ZEROES
+    # rank-deficient directions rather than dropping them (no host sync on
+    # the critical path); true rank surfaces after final_rank_tol pruning.
+    display(f"Rank after reduction: <= {p.shape[1]}")
     _mark("factorized_svd")
 
     # -- streaming temporal regression (full movie, second pass) ---------------

@@ -94,6 +94,11 @@ class PMDArray:
 
     def _ensure_csr(self):
         if self._u_csr is None:
+            if self._blocksparse is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
             self._u_csr, self._col_map = self._blocksparse.to_csr(self._counts)
         return self._u_csr
 
@@ -107,6 +112,11 @@ class PMDArray:
     def r(self) -> np.ndarray:
         if self._r_compact is None:
             self._ensure_csr()
+            if self._r_padded is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
             self._r_compact = np.asarray(self._r_padded)[self._col_map, :]
         return self._r_compact
 
@@ -117,6 +127,11 @@ class PMDArray:
     @property
     def v(self) -> np.ndarray:
         if self._v_host is None:
+            if self._v_src is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
             self._v_host = np.asarray(self._v_src)
         return self._v_host
 
@@ -270,7 +285,7 @@ class PMDArray:
 
     # -- resource management ----------------------------------------------------
 
-    def close(self) -> None:
+    def close(self, materialize: bool = True) -> None:
         """Release device (HBM) buffers held by this array.
 
         The factorization's device arrays (block panels, mixing matrix, V,
@@ -280,17 +295,26 @@ class PMDArray:
         Host-side state (CSR export, numpy factors) survives if it was
         already materialized, so slicing keeps working after close — only
         the device fast path (``reconstruct_frames``) degrades to host CSR.
+
+        With ``materialize=False`` device buffers are dropped WITHOUT first
+        pulling the factors to host — no device->host transfer at all (a
+        multi-GB pull costs minutes on a ~20 MB/s tunneled link). The array
+        is then unusable for further slicing unless the host factors were
+        already materialized earlier.
         """
         if self._blocksparse is not None:
-            # materialize host factors first so __getitem__ remains usable
-            self._ensure_csr()
-            _ = self.r, self.v
+            if materialize:
+                # materialize host factors first so __getitem__ keeps working
+                self._ensure_csr()
+                _ = self.r, self.v
             self._blocksparse = None
         self._combined_temporal_dev = None
         self._panels_c = None
         self._r_padded = None
-        if self._v_host is not None:
-            self._v_src = self._v_host
+        # drop the device V reference too (keeping it would pin its HBM);
+        # with materialize=True (or an earlier .v access) the host copy
+        # takes over, otherwise .v raises below.
+        self._v_src = self._v_host
 
     def __enter__(self) -> "PMDArray":
         return self

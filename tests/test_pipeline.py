@@ -259,6 +259,69 @@ class TestCheckpointResume:
         )
         assert again.shape == (280, 20, 20)
 
+    def test_denoiser_constant_change_invalidates(self, rng, tmp_path):
+        """Editing only a CONSTANT in a denoiser (identical bytecode and
+        name) must invalidate the resume fingerprint — co_consts is part of
+        the hashed payload."""
+        import jax.numpy as jnp
+
+        movie = make_low_rank_movie(2, (280, 20, 20), rng, noise=0.2)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "ck")
+
+        def den_a(x):
+            return jnp.clip(x, -100.0, 100.0)   # ~identity
+
+        def den_b(x):
+            return jnp.clip(x, -0.01, 0.01)     # heavy distortion
+
+        # same name + bytecode, different co_consts only
+        den_b.__qualname__ = den_a.__qualname__
+        assert den_a.__code__.co_code == den_b.__code__.co_code
+
+        first = localmd_decomposition(
+            movie, checkpoint_path=path, temporal_denoiser=den_a, **kw
+        )
+        resumed_b = localmd_decomposition(
+            movie, checkpoint_path=path, temporal_denoiser=den_b, **kw
+        )
+        fresh_b = localmd_decomposition(movie, temporal_denoiser=den_b, **kw)
+        # must have recomputed with den_b, not silently reused den_a blocks
+        np.testing.assert_allclose(resumed_b[7], fresh_b[7], atol=1e-5)
+        assert not np.allclose(resumed_b[7], first[7], atol=1e-3)
+
+    def test_closure_cell_change_invalidates(self, rng, tmp_path):
+        """A denoiser built by a factory (constant captured in a closure
+        cell) must also invalidate on a cell-value change."""
+        import jax.numpy as jnp
+
+        movie = make_low_rank_movie(2, (280, 20, 20), rng, noise=0.2)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "ck")
+
+        def make_clip(c):
+            def den(x):
+                return jnp.clip(x, -c, c)
+            return den
+
+        first = localmd_decomposition(
+            movie, checkpoint_path=path, temporal_denoiser=make_clip(100.0), **kw
+        )
+        resumed = localmd_decomposition(
+            movie, checkpoint_path=path, temporal_denoiser=make_clip(0.01), **kw
+        )
+        fresh = localmd_decomposition(
+            movie, temporal_denoiser=make_clip(0.01), **kw
+        )
+        np.testing.assert_allclose(resumed[7], fresh[7], atol=1e-5)
+        assert not np.allclose(resumed[7], first[7], atol=1e-3)
+
 
 class TestOrderC:
     def test_order_c_matches_order_f(self, rng):
@@ -351,6 +414,68 @@ class TestBackToBackRuns:
         gc.collect()
         pmd2 = localmd_decomposition(movie2, (10, 10), frame_range=280, **kw)
         assert pmd2.shape == (280, 20, 20)
+
+
+class TestCloseWithoutMaterialize:
+    def test_close_materialize_false_drops_without_transfer(self, rng):
+        """close(materialize=False) must release device buffers WITHOUT
+        pulling factors to host (a multi-GB D2H pull costs minutes on a
+        tunneled link); the array is then unusable and says so."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        assert pmd._v_host is None  # nothing materialized yet
+        pmd.close(materialize=False)
+        # no host copies were created by close — the D2H pull did not happen
+        assert pmd._v_host is None
+        assert pmd._u_csr is None
+        assert pmd._blocksparse is None and pmd._v_src is None
+        for prop in ("u", "v", "r"):
+            with pytest.raises(RuntimeError, match="materialize=False"):
+                getattr(pmd, prop)
+
+    def test_close_materialize_false_keeps_existing_host_state(self, rng):
+        """Factors already materialized before close survive it."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        before = pmd[5]
+        _ = pmd.u, pmd.r, pmd.v  # materialize host factors
+        pmd.close(materialize=False)
+        np.testing.assert_allclose(pmd[5], before, atol=1e-6)
+
+
+class TestSeededReproducibility:
+    def test_block_batch_size_does_not_change_results(self, rng):
+        """Block sketches are keyed per GLOBAL block, not per batch: the
+        same seed must give identical factors whatever the chunking (the
+        batch size is derived from free device memory at runtime, so this
+        is what makes seeded runs reproducible at all)."""
+        movie = make_low_rank_movie(3, (300, 40, 40), rng, noise=0.1)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=300, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        one_chunk = localmd_decomposition(movie, **kw, block_batch_size=256)
+        chunked = localmd_decomposition(movie, **kw, block_batch_size=16)
+        np.testing.assert_allclose(chunked.s, one_chunk.s, rtol=1e-5)
+        np.testing.assert_allclose(chunked[7], one_chunk[7], atol=1e-5)
+
+    def test_block_batch_size_invariance_multiwindow(self, rng):
+        movie = make_low_rank_movie(3, (300, 40, 40), rng, noise=0.1)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=300, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+            window_chunks=100,
+        )
+        one_chunk = localmd_decomposition(movie, **kw, block_batch_size=256)
+        chunked = localmd_decomposition(movie, **kw, block_batch_size=16)
+        np.testing.assert_allclose(chunked.s, one_chunk.s, rtol=1e-5)
+        np.testing.assert_allclose(chunked[7], one_chunk[7], atol=1e-5)
 
 
 class TestParameterRobustness:
