@@ -183,6 +183,13 @@ def _write_time_chunk(buf: Array, chunk: Array, start: int) -> Array:
 
 
 @functools_partial(jax.jit, donate_argnums=(0,))
+def _write_frame_chunk(buf: Array, chunk: Array, start: int) -> Array:
+    """In-place (donated) write of a (t_c, d1, d2) native-dtype chunk into
+    the HBM movie cache at frame offset ``start``."""
+    return jax.lax.dynamic_update_slice(buf, chunk, (start, 0, 0))
+
+
+@functools_partial(jax.jit, donate_argnums=(0,))
 def _fold_projector(a: Array, std_flat: Array, mean_flat: Array):
     """(U P) -> (A~ = UP/std, c = A~^T mean); donates the UP buffer."""
     a_tilde = a / std_flat[:, None]
@@ -218,6 +225,8 @@ class PMDLoader:
         num_workers: Optional[int] = None,
         precomputed: Optional[dict] = None,
         welch_compat: str = "scipy",
+        cache_movie="auto",
+        cache_fraction: float = 0.5,
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -245,6 +254,21 @@ class PMDLoader:
                 f"welch_compat must be 'scipy' or 'reference', got {welch_compat!r}"
             )
         self.welch_compat = welch_compat
+        # HBM movie cache: the pipeline streams the movie TWICE (stats pass
+        # + V regression) through the host->device link — the binding
+        # constraint whenever that link is slower than the chip. During the
+        # stats pass, already-transferred chunks are retained on device in
+        # NATIVE dtype (a prefix of the movie if the whole thing doesn't
+        # fit), and later passes read those frames from HBM instead of
+        # re-streaming them. "auto": cache as many leading frames as fit
+        # ``cache_fraction`` of free HBM (needs device memory_stats; off
+        # otherwise). True: always cache (budget-limited if memory_stats
+        # exist). False: never. The reference has no equivalent — it streams
+        # every pass from disk (reference pmd_loader.py:203-291, 316-346).
+        self._cache_policy = cache_movie
+        self._cache_fraction = float(cache_fraction)
+        self._cache: Optional[jax.Array] = None
+        self._cache_frames = 0
         self._key = make_key(seed)
         # The reference spawns torch DataLoader worker *processes*
         # (pmd_loader.py:155-168); here IO is thread-based, so num_workers
@@ -291,10 +315,70 @@ class PMDLoader:
 
         return isinstance(self.dataset, DeviceMovie)
 
+    # -- HBM movie cache --------------------------------------------------------
+
+    def _plan_cache_frames(self) -> int:
+        """How many leading frames to retain on device during the stats pass.
+
+        Quantized down to whole stats chunks (partial chunks are never
+        written, so a finer target would strand allocated HBM)."""
+        if self._device_resident or not self._cache_policy:
+            return 0
+        t_total = self.shape[0]
+        native = np.dtype(
+            getattr(self.dataset, "raw_dtype", None) or self.dataset.dtype
+        )
+        per_frame = self.n_pixels * native.itemsize
+        budget = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+                budget = int(free * self._cache_fraction)
+        except Exception:
+            budget = None
+        if budget is None:
+            # no runtime memory introspection (e.g. CPU backend): cache only
+            # on explicit opt-in, and then cache everything
+            return t_total if self._cache_policy is True else 0
+        n = min(t_total, budget // per_frame)
+        if n < t_total:
+            n = (n // self.frame_constant) * self.frame_constant
+        # not worth the bookkeeping below a couple of stats chunks
+        if n < min(t_total, 2 * self.frame_constant):
+            return 0
+        return int(n)
+
+    def _cache_serves(self, frames) -> bool:
+        """True iff ``frames`` lies entirely inside the cached prefix."""
+        if self._cache is None or self._cache_frames == 0:
+            return False
+        # While the cache is being built, each donated write invalidates the
+        # previous buffer; a prefetch thread slicing a stale reference would
+        # hit a donated-buffer error. Serve only once construction is done.
+        if getattr(self, "_cache_building", False):
+            return False
+        n = self._cache_frames
+        if isinstance(frames, slice):
+            start, stop, step = frames.indices(self.shape[0])
+            return step == 1 and stop <= n
+        if isinstance(frames, (int, np.integer)):
+            return int(frames) < n
+        arr = np.asarray(frames)
+        return arr.size > 0 and int(arr.max()) < n
+
     def _load_raw(self, frames):
         """(T, d1, d2) chunk in the dataset's NATIVE dtype. For host datasets:
         a contiguous numpy array (cast + transpose happen on device). For a
-        DeviceMovie: a device slice (no transfer at all)."""
+        DeviceMovie or cached frames: a device slice (no transfer at all)."""
+        if self._cache_serves(frames):
+            if isinstance(frames, slice):
+                arr = self._cache[frames]
+            elif isinstance(frames, (int, np.integer)):
+                arr = self._cache[int(frames)]
+            else:
+                arr = self._cache[jnp.asarray(np.asarray(frames))]
+            return arr if arr.ndim == 3 else arr[None]
         if (
             self._device_resident
             and isinstance(frames, slice)
@@ -336,6 +420,15 @@ class PMDLoader:
         """
         chunk_frames = chunk_frames or self._stream_chunk_frames()
         ranges = _chunk_ranges(self.shape[0], chunk_frames, merge_tail=merge_tail)
+        if self._cache is not None and 0 < self._cache_frames < self.shape[0]:
+            # split any range straddling the cache boundary so each chunk is
+            # served wholly from HBM or wholly from the dataset
+            c = self._cache_frames
+            ranges = [
+                piece
+                for a, b in ranges
+                for piece in ([(a, c), (c, b)] if a < c < b else [(a, b)])
+            ]
 
         def load(rng):
             raw = self._load_raw(slice(rng[0], rng[1]))
@@ -364,6 +457,9 @@ class PMDLoader:
         noise_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_chunks = 0
 
+        cache_target = self._plan_cache_frames()
+        self._cache_building = cache_target > 0
+        pos = 0
         # Unmerged ranges: the reference stats loop walks plain 1024-frame
         # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise
         # average (pmd_loader.py:245-258); merged ranges would fold the tail
@@ -372,6 +468,16 @@ class PMDLoader:
             self.frame_constant, merge_tail=False, device_put=True
         ):
             t_c = raw.shape[0]
+            if cache_target and pos + t_c <= cache_target:
+                # retain this already-transferred chunk on device: later
+                # passes (init-frame load, V regression) read it from HBM
+                # instead of re-streaming through the host link
+                raw = jnp.asarray(raw)
+                if self._cache is None:
+                    self._cache = jnp.zeros((cache_target, d1, d2), raw.dtype)
+                self._cache = _write_frame_chunk(self._cache, raw, pos)
+                self._cache_frames = pos + t_c
+            pos += t_c
             with_noise = normalizer_flag and t_c >= MIN_NOISE_FRAMES
             ref_compat = self.welch_compat == "reference"
             if use_pallas:
@@ -402,6 +508,12 @@ class PMDLoader:
                 noise_chunks += 1
             mean_acc = mean_acc + m
 
+        self._cache_building = False
+        if self._cache is not None and self._cache_frames:
+            display(
+                f"HBM movie cache: retaining {self._cache_frames}/{t_total} "
+                f"frames on device (native dtype)"
+            )
         self.mean_img = np.asarray(mean_acc)
         if normalizer_flag and noise_chunks > 0:
             std = np.asarray(noise_acc) / noise_chunks

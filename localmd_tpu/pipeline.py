@@ -101,6 +101,7 @@ def localmd_decomposition(
     matmul_precision: Optional[str] = None,
     profile_dir: Optional[str] = None,
     welch_compat: str = "scipy",
+    cache_movie="auto",
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -118,6 +119,12 @@ def localmd_decomposition(
     jax's default matmul precision for the whole pipeline — on TPU, f32
     matmuls decompose into multiple bf16 MXU passes, so "bfloat16" trades
     ~1e-3 relative accuracy for up to ~3-6x matmul throughput.
+
+    ``cache_movie``: "auto" (default) retains already-streamed frames in
+    device HBM during the stats pass (as many leading frames as fit half of
+    free memory, native dtype) so the init-frame load and the V-regression
+    pass read HBM instead of re-streaming the movie through the host link;
+    True forces caching, False disables it.
 
     ``welch_compat``: "scipy" (default) estimates per-pixel noise with the
     documented 256-sample-segment Welch semantics; "reference" reproduces
@@ -146,7 +153,7 @@ def localmd_decomposition(
                 final_rank_tol=final_rank_tol, mesh=mesh,
                 checkpoint_path=checkpoint_path,
                 matmul_precision=matmul_precision, profile_dir=None,
-                welch_compat=welch_compat,
+                welch_compat=welch_compat, cache_movie=cache_movie,
             )
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
@@ -166,7 +173,7 @@ def localmd_decomposition(
                 block_batch_size=block_batch_size, sim_iters=sim_iters,
                 final_rank_tol=final_rank_tol, mesh=mesh,
                 checkpoint_path=checkpoint_path, matmul_precision=None,
-                welch_compat=welch_compat,
+                welch_compat=welch_compat, cache_movie=cache_movie,
             )
     from localmd_tpu.checkpoint import PipelineCheckpoint
     import time as _time
@@ -255,6 +262,7 @@ def localmd_decomposition(
         num_workers=num_workers,
         precomputed=precomputed or None,
         welch_compat=welch_compat,
+        cache_movie=cache_movie,
     )
     if not ckpt.has("stats"):
         ckpt.save("stats", mean_img=load_obj.mean_img, std_img=load_obj.std_img)

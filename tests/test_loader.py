@@ -153,3 +153,121 @@ class TestDeviceMovie:
         v_host = np.asarray(l_host.v_projection(u, jnp.asarray(p)))
         v_dev = np.asarray(l_dev.v_projection(u, jnp.asarray(p)))
         np.testing.assert_allclose(v_host, v_dev, atol=1e-3)
+
+
+class _CountingDataset:
+    """PMDDataset-duck-typed wrapper counting frame reads."""
+
+    def __init__(self, movie):
+        self._movie = movie
+        self.reads = 0
+
+    @property
+    def dtype(self):
+        return self._movie.dtype
+
+    @property
+    def shape(self):
+        return self._movie.shape
+
+    @property
+    def ndim(self):
+        return 3
+
+    def __getitem__(self, item):
+        self.reads += 1
+        return self._movie[item]
+
+
+class TestHBMMovieCache:
+    def _make(self, rng, t=520, d1=14, d2=12):
+        return (rng.standard_normal((t, d1, d2)) * 2 + 5).astype(np.float32)
+
+    def test_full_cache_stops_dataset_reads(self, rng):
+        movie = self._make(rng)
+        counting = _CountingDataset(movie)
+        loader = PMDLoader(counting, background_rank=1, seed=0, cache_movie=True)
+        assert loader._cache_frames == movie.shape[0]
+        reads_after_stats = counting.reads
+        # everything after the stats pass is served from HBM
+        loader.temporal_crop_with_filter(list(range(100, 400)))
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        grid = BlockGrid(14, 12, (7, 6))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 2)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), 14 * 12,
+            jnp.asarray(loader.spatial_basis),
+        )
+        p = jnp.asarray(
+            rng.standard_normal((u.shape[1], 3)).astype(np.float32)
+        )
+        loader.v_projection(u, p)
+        assert counting.reads == reads_after_stats
+
+    def test_cached_and_uncached_results_identical(self, rng):
+        movie = self._make(rng)
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        grid = BlockGrid(14, 12, (7, 6))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 2)
+        ).astype(np.float32)
+
+        outs = {}
+        for flag in (True, False):
+            loader = PMDLoader(movie, background_rank=1, seed=0, cache_movie=flag)
+            u = BlockSparseMatrix(
+                jnp.asarray(panels), jnp.asarray(grid.rows), 14 * 12,
+                jnp.asarray(loader.spatial_basis),
+            )
+            p = jnp.asarray(np.ones((u.shape[1], 3), np.float32))
+            outs[flag] = (
+                np.asarray(loader.mean_img),
+                np.asarray(loader.std_img),
+                np.asarray(loader.v_projection(u, p)),
+            )
+        for a, b in zip(outs[True], outs[False]):
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_partial_prefix_cache_serves_identical_bytes(self, rng):
+        """A prefix cache (movie bigger than the budget) must split streamed
+        ranges at the boundary and serve the exact same bytes."""
+        movie = self._make(rng, t=700)
+        loader = PMDLoader(movie, background_rank=0, seed=0, cache_movie=False)
+        # install a 300-frame prefix cache by hand (the planner would build
+        # one when the device reports a limited budget)
+        loader._cache = jnp.asarray(movie[:300])
+        loader._cache_frames = 300
+
+        plain = PMDLoader(movie, background_rank=0, seed=0, cache_movie=False)
+        got = np.concatenate(
+            [np.asarray(c) for c in loader._iter_raw_chunks(256)], axis=0
+        )
+        want = np.concatenate(
+            [np.asarray(c) for c in plain._iter_raw_chunks(256)], axis=0
+        )
+        np.testing.assert_allclose(got, want)
+        # cache-interior, boundary-straddling, and beyond-cache requests
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw(slice(10, 200))), movie[10:200]
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw(slice(250, 400))), movie[250:400]
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw([5, 150, 299])), movie[[5, 150, 299]]
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw([5, 150, 500])), movie[[5, 150, 500]]
+        )
+
+    def test_auto_policy_without_memory_stats_is_off(self, rng):
+        movie = self._make(rng)
+        loader = PMDLoader(movie, background_rank=0, seed=0, cache_movie="auto")
+        # CPU backend has no memory_stats -> no cache built
+        assert loader._cache is None and loader._cache_frames == 0

@@ -449,6 +449,21 @@ class TestCloseWithoutMaterialize:
         np.testing.assert_allclose(pmd[5], before, atol=1e-6)
 
 
+class TestHBMCachePipeline:
+    def test_cache_movie_end_to_end_identical(self, rng):
+        """cache_movie=True must be numerically invisible: the cached bytes
+        are the same native-dtype frames the passes would have re-streamed."""
+        movie = make_low_rank_movie(3, (300, 24, 24), rng, noise=0.1)
+        kw = dict(
+            block_sizes=(12, 12), frame_range=300, max_components=5,
+            background_rank=2, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        cached = localmd_decomposition(movie, cache_movie=True, **kw)
+        plain = localmd_decomposition(movie, cache_movie=False, **kw)
+        np.testing.assert_allclose(cached.s, plain.s, rtol=1e-5)
+        np.testing.assert_allclose(cached[7], plain[7], atol=1e-5)
+
+
 class TestSeededReproducibility:
     def test_block_batch_size_does_not_change_results(self, rng):
         """Block sketches are keyed per GLOBAL block, not per batch: the
