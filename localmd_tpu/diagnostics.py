@@ -15,11 +15,15 @@ Parity targets (reference diagnostic_plots.py):
 
 TPU rethink: the reference computes every image with an O(d1*d2*8) host
 Python loop around a tiny per-pair jit (reference :131-156, :195-220,
-:249-269). Here each image is ONE jitted program: center/normalize the
-movie once, then 8 shifted elementwise products with validity masks.
-Numerical quirks preserved: covariance uses ddof=1 (jnp.cov), the variance
-scaling uses ddof=0 (jnp.var), and "max" mode is floored at 0 by the
-reference's zero-initialized accumulator.
+:249-269), with the whole movie in memory. Here every image is a STREAMED
+accumulation: per-pixel sums / squared sums / 8 shifted cross-products are
+additive over frame chunks, so one jitted accumulate per chunk + one
+finalize program produce the image in bounded memory (one chunk + a dozen
+images on device) — QC works on from-disk movies far larger than HBM, and
+a PMDArray source is reconstructed on device chunk by chunk. Numerical
+quirks preserved: covariance uses ddof=1 (jnp.cov), the variance scaling
+uses ddof=0 (jnp.var), and "max" mode is floored at 0 by the reference's
+zero-initialized accumulator.
 
 Rendering: plotly is used if installed (reference dependency); otherwise
 matplotlib renders equivalent figures into self-contained HTML (base64 PNG).
@@ -50,18 +54,6 @@ except ImportError:
 _SHIFTS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
 
 
-def _shifted(x: Array, dy: int, dx: int) -> Tuple[Array, Array]:
-    """Shift (T, d1, d2) movie by (dy, dx) with a validity mask (d1, d2)."""
-    t, d1, d2 = x.shape
-    shifted = jnp.roll(x, (dy, dx), axis=(1, 2))
-    yy = jnp.arange(d1)[:, None]
-    xx = jnp.arange(d2)[None, :]
-    valid = (
-        (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
-    )
-    return shifted, valid
-
-
 def _neighbor_reduce(products, valids, mode: str):
     """Combine 8 (d1, d2) neighbor statistics into one image."""
     stacked = jnp.stack(products)           # (8, d1, d2)
@@ -74,75 +66,230 @@ def _neighbor_reduce(products, valids, mode: str):
     raise ValueError(f"mode {mode} not supported")
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _correlation_image_kernel(movie: Array, mode: str) -> Array:
-    centered = movie - jnp.mean(movie, axis=0, keepdims=True)
-    norm = jnp.linalg.norm(centered, axis=0, keepdims=True)
-    z = centered / norm
+DEFAULT_CHUNK_FRAMES = 1024
+
+
+def _n_frames(source) -> int:
+    return int(source.shape[0])
+
+
+def _load_frames(source, a: int, b: int) -> Array:
+    """(b - a, d1, d2) float32 device frames from any movie source:
+    np.ndarray, jax.Array, a PMDDataset/DeviceMovie, or a PMDArray (whose
+    frames are reconstructed ON DEVICE chunk by chunk — the whole denoised
+    movie is never materialized)."""
+    from localmd_tpu.pmd_array import PMDArray
+
+    if isinstance(source, PMDArray):
+        return source.reconstruct_frames(np.arange(a, b)).astype(jnp.float32)
+    chunk = source[slice(a, b)]
+    return jnp.asarray(chunk).astype(jnp.float32)
+
+
+def _chunk_spans(t: int, chunk_frames: int):
+    return [(a, min(a + chunk_frames, t)) for a in range(0, t, chunk_frames)]
+
+
+# -- streaming moment accumulators -------------------------------------------
+#
+# All three QC images reduce to per-pixel sums that are additive over frame
+# chunks: S1 = sum x, S2 = sum x^2, and the 8 shifted cross-products
+# C_k = sum x * shift_k(x). Correlation and covariance are invariant to a
+# per-pixel constant shift, so chunks are accumulated relative to a reference
+# image (the first chunk's mean) — this keeps the S2 - T*m^2 cancellation
+# benign in float32 even for high-offset uint16 movies. The reference
+# implementation instead column-batches a host loop over all pixels with the
+# whole movie in memory (reference diagnostic_plots.py:227-305).
+
+
+@jax.jit
+def _moment_update(s1, s2, cross, chunk, ref):
+    x = chunk - ref
+    s1 = s1 + jnp.sum(x, axis=0)
+    s2 = s2 + jnp.sum(x * x, axis=0)
+    updates = []
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        xs = jnp.roll(x, (dy, dx), axis=(1, 2))
+        updates.append(cross[i] + jnp.sum(x * xs, axis=0))
+    return s1, s2, jnp.stack(updates)
+
+
+def _accumulate_moments(source, chunk_frames: int):
+    """Stream a movie source once; return (T, ref, S1, S2, C[8])."""
+    t = _n_frames(source)
+    d1, d2 = source.shape[1], source.shape[2]
+    s1 = jnp.zeros((d1, d2), jnp.float32)
+    s2 = jnp.zeros((d1, d2), jnp.float32)
+    cross = jnp.zeros((8, d1, d2), jnp.float32)
+    ref = None
+    for a, b in _chunk_spans(t, chunk_frames):
+        chunk = _load_frames(source, a, b)
+        if ref is None:
+            ref = jnp.mean(chunk, axis=0)
+        s1, s2, cross = _moment_update(s1, s2, cross, chunk, ref)
+    return t, ref, s1, s2, cross
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _corr_finalize(s1, s2, cross, t, mode, shape):
+    d1, d2 = shape
+    m = s1 / t
+    norm = jnp.sqrt(jnp.maximum(s2 - t * m * m, 0.0))
     products, valids = [], []
-    for dy, dx in _SHIFTS:
-        zs, valid = _shifted(z, dy, dx)
-        products.append(jnp.sum(z * zs, axis=0))
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        ms = jnp.roll(m, (dy, dx), axis=(0, 1))
+        norms = jnp.roll(norm, (dy, dx), axis=(0, 1))
+        yy = jnp.arange(d1)[:, None]
+        xx = jnp.arange(d2)[None, :]
+        valid = (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
+        products.append((cross[i] - t * m * ms) / (norm * norms))
         valids.append(valid)
     return _neighbor_reduce(products, valids, mode)
 
 
-def make_correlation_image(movie: np.ndarray, mode: str = "max") -> np.ndarray:
-    """Per-pixel neighbor correlation of the raw movie. (T, d1, d2) -> (d1, d2)."""
-    return np.asarray(_correlation_image_kernel(jnp.asarray(movie), mode))
+def make_correlation_image(
+    movie, mode: str = "max", chunk_frames: int = DEFAULT_CHUNK_FRAMES
+) -> np.ndarray:
+    """Per-pixel neighbor correlation. (T, d1, d2) source -> (d1, d2).
 
-
-@partial(jax.jit, static_argnums=(1,))
-def _autocorrelation_kernel(movie: Array, lag: int) -> Array:
-    a = movie[lag:]
-    b = movie[: -lag]
-    a = a - jnp.mean(a, axis=0, keepdims=True)
-    b = b - jnp.mean(b, axis=0, keepdims=True)
-    a = a / jnp.linalg.norm(a, axis=0, keepdims=True)
-    b = b / jnp.linalg.norm(b, axis=0, keepdims=True)
-    return jnp.sum(a * b, axis=0)
-
-
-def make_autocorrelation_image(movie: np.ndarray, lag: int = 1) -> np.ndarray:
-    """Per-pixel lag-k autocorrelation. (T, d1, d2) -> (d1, d2)."""
-    return np.asarray(_autocorrelation_kernel(jnp.asarray(movie), lag))
-
-
-@partial(jax.jit, static_argnums=(2,))
-def _scaled_cov_kernel(target: Array, raw: Array, mode: str) -> Array:
-    """Neighbor covariance of `target`, scaled by raw-pixel std products.
-
-    cov uses ddof=1 (jnp.cov parity), the raw variances ddof=0 (jnp.var).
+    Streams the movie in ``chunk_frames`` chunks (bounded memory: one chunk
+    + a dozen images on device), so it works on from-disk datasets far
+    larger than HBM. Reference equivalent: diagnostic_plots.py:227-272.
     """
-    t = target.shape[0]
-    centered = target - jnp.mean(target, axis=0, keepdims=True)
-    raw_std = jnp.sqrt(jnp.var(raw, axis=0))
+    t, _, s1, s2, cross = _accumulate_moments(movie, chunk_frames)
+    d1, d2 = movie.shape[1], movie.shape[2]
+    return np.asarray(_corr_finalize(s1, s2, cross, t, mode, (d1, d2)))
+
+
+def make_autocorrelation_image(
+    movie, lag: int = 1, chunk_frames: int = DEFAULT_CHUNK_FRAMES
+) -> np.ndarray:
+    """Per-pixel lag-k autocorrelation, streamed in bounded memory.
+
+    corr(movie[lag:], movie[:-lag]) per pixel, each side centered and
+    normalized over its own frames (reference diagnostic_plots.py:275-305).
+    A ``lag``-frame tail is carried between chunks so boundary-spanning
+    pairs are counted exactly once.
+    """
+    t = _n_frames(movie)
+    if t <= lag:
+        raise ValueError(f"need more than lag={lag} frames, got {t}")
+    chunk_frames = max(chunk_frames, 2 * lag)
+    d1, d2 = movie.shape[1], movie.shape[2]
+
+    s1 = jnp.zeros((d1, d2), jnp.float32)
+    s2 = jnp.zeros((d1, d2), jnp.float32)
+    c = jnp.zeros((d1, d2), jnp.float32)
+    ref = head = tail = None
+    for a, b in _chunk_spans(t, chunk_frames):
+        chunk = _load_frames(movie, a, b)
+        if ref is None:
+            ref = jnp.mean(chunk, axis=0)
+            head = chunk[:lag] - ref
+        x = chunk - ref
+        s1 = s1 + jnp.sum(x, axis=0)
+        s2 = s2 + jnp.sum(x * x, axis=0)
+        ext = x if tail is None else jnp.concatenate([tail, x], axis=0)
+        if ext.shape[0] > lag:
+            c = c + jnp.sum(ext[:-lag] * ext[lag:], axis=0)
+        tail = ext[-lag:]
+
+    n = t - lag
+    sa1 = s1 - jnp.sum(head, axis=0)          # frames [lag, T)
+    sa2 = s2 - jnp.sum(head * head, axis=0)
+    sb1 = s1 - jnp.sum(tail, axis=0)          # frames [0, T - lag)
+    sb2 = s2 - jnp.sum(tail * tail, axis=0)
+    ma, mb = sa1 / n, sb1 / n
+    na = jnp.sqrt(jnp.maximum(sa2 - n * ma * ma, 0.0))
+    nb = jnp.sqrt(jnp.maximum(sb2 - n * mb * mb, 0.0))
+    return np.asarray((c - n * ma * mb) / (na * nb))
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _scaled_cov_finalize(s1_t, cross_t, s1_r, s2_r, t, mode, shape):
+    """Neighbor covariance of the target (ddof=1, jnp.cov parity) scaled by
+    raw-pixel std products (ddof=0, jnp.var parity)."""
+    d1, d2 = shape
+    m_t = s1_t / t
+    raw_std = jnp.sqrt(jnp.maximum(s2_r / t - (s1_r / t) ** 2, 0.0))
     products, valids = [], []
-    for dy, dx in _SHIFTS:
-        cs, valid = _shifted(centered, dy, dx)
-        rs, _ = _shifted(raw_std[None], dy, dx)
-        cov = jnp.sum(centered * cs, axis=0) / (t - 1)
-        products.append(cov / (raw_std * rs[0]))
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        ms = jnp.roll(m_t, (dy, dx), axis=(0, 1))
+        rs = jnp.roll(raw_std, (dy, dx), axis=(0, 1))
+        yy = jnp.arange(d1)[:, None]
+        xx = jnp.arange(d2)[None, :]
+        valid = (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
+        cov = (cross_t[i] - t * m_t * ms) / (t - 1)
+        products.append(cov / (raw_std * rs))
         valids.append(valid)
     return _neighbor_reduce(products, valids, mode)
+
+
+@jax.jit
+def _scaled_cov_update(s1_t, cross_t, s1_r, s2_r, target_chunk, raw_chunk,
+                       ref_t, ref_r):
+    xt = target_chunk - ref_t
+    xr = raw_chunk - ref_r
+    s1_t = s1_t + jnp.sum(xt, axis=0)
+    s1_r = s1_r + jnp.sum(xr, axis=0)
+    s2_r = s2_r + jnp.sum(xr * xr, axis=0)
+    updates = []
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        xs = jnp.roll(xt, (dy, dx), axis=(1, 2))
+        updates.append(cross_t[i] + jnp.sum(xt * xs, axis=0))
+    return s1_t, jnp.stack(updates), s1_r, s2_r
+
+
+def _streamed_scaled_cov(
+    original_movie, pmd_movie, mode: str, chunk_frames: int, residual: bool
+) -> np.ndarray:
+    t = _n_frames(original_movie)
+    d1, d2 = original_movie.shape[1], original_movie.shape[2]
+    s1_t = jnp.zeros((d1, d2), jnp.float32)
+    cross_t = jnp.zeros((8, d1, d2), jnp.float32)
+    s1_r = jnp.zeros((d1, d2), jnp.float32)
+    s2_r = jnp.zeros((d1, d2), jnp.float32)
+    ref_t = ref_r = None
+    for a, b in _chunk_spans(t, chunk_frames):
+        raw = _load_frames(original_movie, a, b)
+        pmd = _load_frames(pmd_movie, a, b)
+        target = raw - pmd if residual else pmd
+        if ref_t is None:
+            ref_t, ref_r = jnp.mean(target, axis=0), jnp.mean(raw, axis=0)
+        s1_t, cross_t, s1_r, s2_r = _scaled_cov_update(
+            s1_t, cross_t, s1_r, s2_r, target, raw, ref_t, ref_r
+        )
+    return np.asarray(
+        _scaled_cov_finalize(s1_t, cross_t, s1_r, s2_r, t, mode, (d1, d2))
+    )
 
 
 def make_pmd_correlation_image(
-    original_movie: np.ndarray, pmd_movie: np.ndarray, mode: str = "max"
+    original_movie, pmd_movie, mode: str = "max",
+    chunk_frames: int = DEFAULT_CHUNK_FRAMES,
 ) -> np.ndarray:
-    """Neighbor covariance of the PMD reconstruction scaled by raw variances."""
-    return np.asarray(
-        _scaled_cov_kernel(jnp.asarray(pmd_movie), jnp.asarray(original_movie), mode)
+    """Neighbor covariance of the PMD reconstruction scaled by raw variances.
+
+    ``pmd_movie`` may be a dense (T, d1, d2) array or a ``PMDArray`` — the
+    latter is reconstructed on device chunk by chunk, so QC runs in bounded
+    memory on movies that don't fit HBM (reference equivalent:
+    diagnostic_plots.py:163-224, column-batched host loop).
+    """
+    return _streamed_scaled_cov(
+        original_movie, pmd_movie, mode, chunk_frames, residual=False
     )
 
 
 def make_residual_correlation_image(
-    original_movie: np.ndarray, pmd_movie: np.ndarray, mode: str = "max"
+    original_movie, pmd_movie, mode: str = "max",
+    chunk_frames: int = DEFAULT_CHUNK_FRAMES,
 ) -> np.ndarray:
     """Neighbor covariance of (raw - PMD) scaled by raw variances — white
-    residuals give a near-zero image (QC pass)."""
-    resid = jnp.asarray(original_movie) - jnp.asarray(pmd_movie)
-    return np.asarray(_scaled_cov_kernel(resid, jnp.asarray(original_movie), mode))
+    residuals give a near-zero image (QC pass). Streams in bounded memory;
+    ``pmd_movie`` may be a ``PMDArray`` (reference diagnostic_plots.py:101-160)."""
+    return _streamed_scaled_cov(
+        original_movie, pmd_movie, mode, chunk_frames, residual=True
+    )
 
 
 # ---------------------------------------------------------------------------

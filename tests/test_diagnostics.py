@@ -98,6 +98,63 @@ class TestCorrelationImages:
                 expected[k, j] = _corr(movie[1:, k, j], movie[:-1, k, j])
         np.testing.assert_allclose(ours, expected, atol=1e-4)
 
+
+class TestStreamingDiagnostics:
+    """The QC images accumulate over frame chunks in bounded memory — tiny
+    chunk sizes must give the same images as one-shot, sources may be lazy
+    datasets, and a PMDArray is reconstructed on device chunk by chunk."""
+
+    def test_chunked_matches_one_shot(self, rng):
+        movie = (rng.standard_normal((130, 9, 8)) * 3 + 50).astype(np.float32)
+        for fn, args in [
+            (make_correlation_image, ("max",)),
+            (make_correlation_image, ("mean",)),
+            (make_autocorrelation_image, (2,)),
+        ]:
+            one = fn(movie, *args, chunk_frames=1024)
+            chunked = fn(movie, *args, chunk_frames=17)
+            np.testing.assert_allclose(chunked, one, atol=1e-4)
+
+    def test_chunked_scaled_cov_matches(self, rng):
+        raw = (rng.standard_normal((120, 8, 7)) * 2 + 30).astype(np.float32)
+        pmd = raw + 0.1 * rng.standard_normal(raw.shape).astype(np.float32)
+        for fn in (make_pmd_correlation_image, make_residual_correlation_image):
+            one = fn(raw, pmd, "mean", chunk_frames=1024)
+            chunked = fn(raw, pmd, "mean", chunk_frames=23)
+            np.testing.assert_allclose(chunked, one, atol=1e-4)
+
+    def test_dataset_source(self, rng, tmp_path):
+        """A from-disk RawBinaryArray works as the movie source (the
+        whole-movie-on-device requirement is gone)."""
+        from localmd_tpu.dataset import RawBinaryArray
+
+        movie = (rng.standard_normal((100, 8, 6)) * 10 + 500).astype(np.uint16)
+        path = str(tmp_path / "m.bin")
+        movie.tofile(path)
+        ds = RawBinaryArray(path, (100, 8, 6), np.uint16)
+        ours = make_correlation_image(ds, "max", chunk_frames=32)
+        want = make_correlation_image(movie.astype(np.float32), "max")
+        np.testing.assert_allclose(ours, want, atol=1e-4)
+
+    def test_pmd_array_source(self, rng):
+        """QC on a PMDArray reconstructs frames on device per chunk — the
+        dense denoised movie is never materialized."""
+        from conftest import make_low_rank_movie
+        from localmd_tpu import localmd_decomposition
+
+        movie = make_low_rank_movie(3, (300, 20, 20), rng, noise=0.3)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=300, max_components=5,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        dense = pmd[:, :, :]  # host-materialized oracle
+        img_lazy = make_pmd_correlation_image(movie, pmd, "mean", chunk_frames=64)
+        img_dense = make_pmd_correlation_image(movie, dense, "mean")
+        np.testing.assert_allclose(img_lazy, img_dense, atol=1e-3)
+        res_lazy = make_residual_correlation_image(movie, pmd, "mean", chunk_frames=64)
+        res_dense = make_residual_correlation_image(movie, dense, "mean")
+        np.testing.assert_allclose(res_lazy, res_dense, atol=1e-3)
+
     def test_smooth_signal_has_high_correlation(self, rng):
         # a shared smooth trace across all pixels -> corr image ~1
         trace = np.cumsum(rng.standard_normal(200)).astype(np.float32)
