@@ -56,7 +56,9 @@ def _as_product_operator(u):
     raise TypeError(f"Unsupported spatial matrix type: {type(u)}")
 
 
-def _gram_quadratic_mesh(u: BlockSparseMatrix, right: Array, mesh) -> Array:
+def _gram_quadratic_mesh(
+    u: BlockSparseMatrix, right: Array, mesh, col_chunk: int = DEFAULT_COL_CHUNK
+) -> Array:
     """right^T (U^T U) right with the block panels sharded over ``mesh``
     (one psum at the pyramid-overlap seams; see parallel.sharded). Pads the
     block axis — and the corresponding rows of ``right`` — to a mesh
@@ -86,7 +88,8 @@ def _gram_quadratic_mesh(u: BlockSparseMatrix, right: Array, mesh) -> Array:
             axis=0,
         )
     return sharded_gram_quadratic(
-        mesh, panels, rows, u.dense_basis, right, u.n_pixels
+        mesh, panels, rows, u.dense_basis, right, u.n_pixels,
+        col_chunk=col_chunk,
     )
 
 
@@ -132,7 +135,7 @@ def compute_lowrank_factorized_svd(
         right = jnp.eye(r_cols, dtype=v.dtype)
 
     if mesh is not None and isinstance(op, BlockSparseMatrix):
-        quad = _gram_quadratic_mesh(op, right, mesh)       # (m, m)
+        quad = _gram_quadratic_mesh(op, right, mesh, col_chunk=col_chunk)  # (m, m)
     else:
         quad = op.gram_quadratic(right, col_chunk=col_chunk)   # (m, m)
     eig_vals, eig_vecs = eigh_descending(quad)

@@ -203,16 +203,37 @@ def sharded_gram_quadratic(
     dense_basis: Array,
     right: Array,
     n_pixels: int,
+    col_chunk: int = 1024,
 ) -> Array:
-    """Symmetrized right.T (U.T U) right with block panels sharded.
+    """Symmetrized right.T (U.T U) right with block panels sharded, in
+    bounded per-chip memory.
 
-    Each chip computes its local blocks' scatter contribution to
-    Z = U @ right, a psum over the block axis assembles the full Z
-    (this is where the pyramid-overlap seams cross chips), and the
-    (m, m) result is reduced from Z^T Z.
+    Column-chunked pixel-sharded formulation: for each ``col_chunk``-column
+    slice of ``right``, every chip scatter-adds its local blocks'
+    contribution to that slice of Z = U @ right, a ``psum_scatter`` over the
+    block axis both combines the pyramid-overlap seams AND leaves each chip
+    holding only its PIXEL shard of the slice; the replicated background
+    term is added post-scatter on the local pixel shard. The (m, m) result
+    is then one ``psum`` of the pixel-sharded Z^T Z.
+
+    Per-chip peak: (n_pixels/n_dev) x m accumulator + one n_pixels x
+    col_chunk staging slice — versus the full n_pixels x m buffer the naive
+    psum formulation replicates on every chip (~10 GB at a 1024^2 FOV with
+    m ~ 2.6k; this version needs ~1.3 GB + 4 MB x col_chunk on 8 chips and
+    scales down with mesh size).
     """
     n_blocks, _, slots = panels.shape
     m = right.shape[1]
+    n_dev = mesh.devices.size
+    p_pad = ((n_pixels + n_dev - 1) // n_dev) * n_dev
+    shard_rows = p_pad // n_dev
+    k_bg = dense_basis.shape[1]
+    bg_pad = dense_basis
+    if p_pad != n_pixels:
+        bg_pad = jnp.concatenate(
+            [dense_basis, jnp.zeros((p_pad - n_pixels, k_bg), dense_basis.dtype)]
+        )
+    spans = [(c, min(c + col_chunk, m)) for c in range(0, m, col_chunk)]
 
     def local(panels_l, rows_l, bg_r, right_r):
         nb_l = panels_l.shape[0]
@@ -221,15 +242,26 @@ def sharded_gram_quadratic(
         right_l = jax.lax.dynamic_slice(
             right_r, (col_start, 0), (nb_l * slots, m)
         ).reshape(nb_l, slots, m)
-        contrib = _mm(panels_l, right_l)                  # (nb_l, p, m)
-        z_local = jnp.zeros((n_pixels, m), dtype=contrib.dtype)
-        z_local = z_local.at[rows_l.reshape(-1)].add(
-            contrib.reshape(-1, m)
-        )
-        z = jax.lax.psum(z_local, BLOCK_AXIS)             # overlap seams combined
-        # background columns live at the tail of `right`, replicated
-        z = z + _mm(bg_r, right_r[n_blocks * slots :])
-        quad = _mm(z.T, z)
+        right_bg = right_r[n_blocks * slots :]
+        flat_rows = rows_l.reshape(-1)
+
+        z_shard = jnp.zeros((shard_rows, m), dtype=jnp.float32)
+        for c0, c1 in spans:
+            contrib = _mm(panels_l, right_l[:, :, c0:c1])  # (nb_l, p, mc)
+            zc = jnp.zeros((p_pad, c1 - c0), dtype=contrib.dtype)
+            zc = zc.at[flat_rows].add(contrib.reshape(-1, c1 - c0))
+            # combine overlap seams AND shard by pixels in one collective
+            zc = jax.lax.psum_scatter(
+                zc, BLOCK_AXIS, scatter_dimension=0, tiled=True
+            )                                              # (shard_rows, mc)
+            # background columns are replicated: add only THIS chip's pixel
+            # rows (a pre-scatter add would be summed n_dev times)
+            bg_shard = jax.lax.dynamic_slice(
+                bg_r, (axis_idx * shard_rows, 0), (shard_rows, k_bg)
+            )
+            zc = zc + _mm(bg_shard, right_bg[:, c0:c1])
+            z_shard = jax.lax.dynamic_update_slice(z_shard, zc, (0, c0))
+        quad = jax.lax.psum(_mm(z_shard.T, z_shard), BLOCK_AXIS)
         return quad
 
     f = shard_map(
@@ -239,5 +271,5 @@ def sharded_gram_quadratic(
         out_specs=P(),
         check_vma=False,
     )
-    quad = f(panels, rows, dense_basis, right)
+    quad = f(panels, rows, bg_pad, right)
     return 0.5 * (quad + quad.T)

@@ -90,6 +90,43 @@ class TestShardedPhases:
         expected = np.asarray(u.gram_quadratic(jnp.asarray(right)))
         np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2)
 
+    def test_gram_quadratic_column_chunked(self, rng):
+        """col_chunk < m must give the same (m, m) Gram — this is the
+        bounded-memory path for large-FOV meshes (each chip holds a pixel
+        SHARD of Z plus one col_chunk staging slice, never the full
+        n_pixels x m buffer)."""
+        mesh = make_mesh()
+        grid = BlockGrid(20, 20, (8, 8))
+        u = _make_blocksparse(rng, grid)
+        m = u.shape[1]
+        right = rng.standard_normal((m, m)).astype(np.float32)
+
+        expected = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+        for cc in (7, 64):
+            out = sharded_gram_quadratic(
+                mesh, u.panels, u.rows, u.dense_basis, jnp.asarray(right),
+                u.n_pixels, col_chunk=cc,
+            )
+            np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2,
+                                       err_msg=f"col_chunk={cc}")
+
+    def test_gram_quadratic_pixels_not_divisible_by_mesh(self, rng):
+        """n_pixels not a multiple of the mesh size exercises the pixel
+        padding around psum_scatter."""
+        mesh = make_mesh()
+        grid = BlockGrid(18, 19, (9, 9))  # 342 pixels, not divisible by 8
+        u = _make_blocksparse(rng, grid)
+        n_dev = len(mesh.devices)
+        if u.n_blocks % n_dev:
+            pytest.skip("block grid not shardable at this size")
+        right = rng.standard_normal((u.shape[1], 5)).astype(np.float32)
+        out = sharded_gram_quadratic(
+            mesh, u.panels, u.rows, u.dense_basis, jnp.asarray(right),
+            u.n_pixels, col_chunk=3,
+        )
+        expected = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-2)
+
 
 class TestShardedWindowedPMD:
     def test_multi_window_matches_single_device(self, rng):
