@@ -284,6 +284,73 @@ def _md_pack_step(
 # Windowed decomposition driver
 # ---------------------------------------------------------------------------
 
+def _fallback_rerun(
+    window: Array,
+    keys: Array,
+    u_r: Array,
+    dec_r: Array,
+    is_zero: Array,
+    n_zero: Array,
+    fallback_cap: int,
+    *,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold,
+    temporal_threshold,
+    spatial_denoiser: Callable,
+    temporal_denoiser: Callable,
+) -> Tuple[Array, Array]:
+    """Re-run the FULL two-stage kernel for zero-count blocks only
+    (reference decomposition.py:476-488), replacing their residual-kernel
+    results.
+
+    Three tiers selected on device: no zero blocks -> no-op; up to
+    ``fallback_cap`` zeros -> gather the zero blocks to a compacted
+    fixed-size subset, run the full kernel there, scatter back (one
+    straggler costs a cap-sized kernel, not a whole-batch one); more zeros
+    than the capacity -> all-blocks kernel with per-block selection.
+    """
+    n = window.shape[0]
+
+    def _no_fallback(args):
+        return args
+
+    def _gathered_fallback(args):
+        u_prev, dec_prev = args
+        # stable sort: zero-count blocks first, in index order
+        order = jnp.argsort(jnp.logical_not(is_zero))
+        idx = order[:fallback_cap]
+        u_f, dec_f, _ = single_block_md_batched(
+            window[idx], keys[idx], max_rank, temporal_avg_factor,
+            spatial_avg_factor, spatial_threshold, temporal_threshold,
+            spatial_denoiser, temporal_denoiser,
+        )
+        sel = is_zero[idx]
+        u_new = u_prev.at[idx].set(jnp.where(sel[:, None, None], u_f, u_prev[idx]))
+        dec_new = dec_prev.at[idx].set(jnp.where(sel[:, None], dec_f, dec_prev[idx]))
+        return u_new, dec_new
+
+    def _full_fallback(args):
+        u_prev, dec_prev = args
+        u_f, dec_f, _ = single_block_md_batched(
+            window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
+            spatial_threshold, temporal_threshold,
+            spatial_denoiser, temporal_denoiser,
+        )
+        return (
+            jnp.where(is_zero[:, None, None], u_f, u_prev),
+            jnp.where(is_zero[:, None], dec_f, dec_prev),
+        )
+
+    if fallback_cap >= n:
+        return jax.lax.cond(n_zero > 0, _full_fallback, _no_fallback, (u_r, dec_r))
+    branch = jnp.where(n_zero == 0, 0, jnp.where(n_zero <= fallback_cap, 1, 2))
+    return jax.lax.switch(
+        branch, [_no_fallback, _gathered_fallback, _full_fallback], (u_r, dec_r)
+    )
+
+
 class WindowedPMDResult(NamedTuple):
     spatial: Array    # (n, p, max_rank) zero-padded accumulated bases
     counts: Array     # (n,) kept components per block
@@ -312,8 +379,11 @@ def _windowed_loop_impl(
     ``lax.while_loop`` whose condition is the device-side "every block full"
     check (the round-1 implementation pulled ``counts`` to host every window —
     one tunnel round-trip per window). Blocks still holding zero components
-    re-run the full kernel via ``lax.cond`` (reference decomposition.py:
-    476-488), so the fallback costs nothing when no block needs it.
+    re-run the full kernel (reference decomposition.py:476-488) on a
+    COMPACTED fixed-capacity subset (gather zero-count blocks -> full kernel
+    -> scatter back), so one straggler block costs a ``n/8``-block kernel
+    per window, not a whole-batch one; more stragglers than the capacity
+    fall through to the all-blocks branch.
 
     With ``axis_name`` (shard_map over the block axis), the early-stop and
     zero-count predicates are ``pmin``'d across shards so every device takes
@@ -341,6 +411,16 @@ def _windowed_loop_impl(
         w, _acc, counts = state
         return (w < n_windows) & (_global_min(counts) < max_rank)
 
+    # Static capacity of the gathered fallback tier: blocks still holding
+    # zero components re-run the FULL two-stage kernel (reference
+    # decomposition.py:476-488), but on a compacted subset of this size —
+    # one straggler block must not re-pay the full kernel for the whole
+    # batch on every subsequent window. NOTE the failure filter keeps every
+    # block's first component even when it fails the fitness test
+    # (reference evaluation.py:210-218), so counts >= 1 after window 0 and
+    # this fallback is a reference-parity safety net, not a hot path.
+    fallback_cap = max(1, n // 8)
+
     def body_fn(state):
         w, acc, counts = state
         start = jnp.minimum(w * window_length, t - window_length)  # tail snap
@@ -350,22 +430,19 @@ def _windowed_loop_impl(
             window, acc, keys, max_rank, temporal_avg_factor,
             spatial_threshold, temporal_threshold,
         )
-
-        def _with_fallback(args):
-            u_r, dec_r = args
-            u_f, dec_f, _ = single_block_md_batched(
-                window, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
-                spatial_threshold, temporal_threshold,
-                spatial_denoiser, temporal_denoiser,
-            )
-            is_zero = (counts == 0)[:, None]
-            return (
-                jnp.where(is_zero[..., None], u_f, u_r),
-                jnp.where(is_zero, dec_f, dec_r),
-            )
-
-        u, dec = jax.lax.cond(
-            _global_min(counts) == 0, _with_fallback, lambda a: a, (u, dec)
+        is_zero = counts == 0
+        n_zero = jnp.sum(is_zero.astype(jnp.int32))
+        if axis_name is not None:
+            # all shards must take the SAME branch; size for the worst shard
+            n_zero = jax.lax.pmax(n_zero, axis_name)
+        u, dec = _fallback_rerun(
+            window, keys, u, dec, is_zero, n_zero, fallback_cap,
+            max_rank=max_rank, temporal_avg_factor=temporal_avg_factor,
+            spatial_avg_factor=spatial_avg_factor,
+            spatial_threshold=spatial_threshold,
+            temporal_threshold=temporal_threshold,
+            spatial_denoiser=spatial_denoiser,
+            temporal_denoiser=temporal_denoiser,
         )
         acc, counts = pack_components(
             u, dec, acc, counts, max_consecutive_failures

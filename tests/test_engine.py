@@ -148,6 +148,99 @@ class TestWindowedPMD:
         np.testing.assert_allclose(u.T @ u, np.eye(6), atol=1e-3)
 
 
+class TestStragglerFallback:
+    """The windowed loop's zero-count fallback re-runs the full two-stage
+    kernel on a COMPACTED fixed-capacity subset (not the whole batch).
+    Reference parity note: filter_by_failures keeps every block's FIRST
+    component even when it fails (reference evaluation.py:210-218), so
+    counts >= 1 after window 0 — the fallback is a safety net whose cost
+    must still be bounded if it ever fires."""
+
+    def test_first_failure_is_kept_reference_semantics(self, rng):
+        """A window whose every component fails the fitness test still packs
+        exactly min(mcf, r) components — matching the reference host oracle."""
+        from localmd_tpu.engine import pack_components
+
+        u = jnp.asarray(rng.standard_normal((1, 64, 4)).astype(np.float32))
+        dec = jnp.zeros((1, 4), jnp.int32)
+        acc = jnp.zeros((1, 64, 4), jnp.float32)
+        counts = jnp.zeros((1,), jnp.int32)
+        for mcf in (1, 2, 3):
+            _, c = pack_components(u, dec, acc, counts, mcf)
+            oracle = filter_by_failures_np(np.zeros(4, bool), mcf).sum()
+            assert int(np.asarray(c)[0]) == int(oracle) == mcf
+
+    def test_gathered_fallback_equals_full_fallback(self, rng):
+        """With one zero-count straggler among 16 blocks, the gathered
+        cap-sized tier must produce exactly the same output as the
+        all-blocks tier — only cheaper."""
+        from localmd_tpu.engine import _fallback_rerun, identity
+
+        n, b1, b2, wl = 16, 16, 16, 80
+        window = jnp.asarray(
+            low_rank_blocks(rng, n=n, b1=b1, b2=b2, t=wl, rank=2, noise=0.05)
+        )
+        keys = jax.random.split(jax.random.PRNGKey(4), n)
+        u_r = jnp.asarray(rng.standard_normal((n, b1 * b2, 4)).astype(np.float32))
+        dec_r = jnp.asarray((rng.random((n, 4)) > 0.5).astype(np.int32))
+        is_zero = jnp.zeros((n,), bool).at[5].set(True)
+        kw = dict(
+            max_rank=4, temporal_avg_factor=4, spatial_avg_factor=2,
+            spatial_threshold=1e9, temporal_threshold=1e9,
+            spatial_denoiser=identity, temporal_denoiser=identity,
+        )
+        n_zero = jnp.sum(is_zero.astype(jnp.int32))
+        u_g, dec_g = _fallback_rerun(
+            window, keys, u_r, dec_r, is_zero, n_zero, 2, **kw
+        )
+        u_f, dec_f = _fallback_rerun(
+            window, keys, u_r, dec_r, is_zero, n_zero, n, **kw
+        )
+        np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_f), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(dec_g), np.asarray(dec_f))
+        # non-straggler blocks keep their residual-kernel results untouched
+        mask = np.ones(n, bool)
+        mask[5] = False
+        np.testing.assert_array_equal(
+            np.asarray(u_g)[mask], np.asarray(u_r)[mask]
+        )
+        # the straggler actually got re-decomposed
+        assert not np.allclose(np.asarray(u_g)[5], np.asarray(u_r)[5])
+
+    def test_no_zero_blocks_is_noop_and_overflow_falls_through(self, rng):
+        from localmd_tpu.engine import _fallback_rerun, identity
+
+        n, b1, b2, wl = 16, 12, 12, 40
+        window = jnp.asarray(
+            low_rank_blocks(rng, n=n, b1=b1, b2=b2, t=wl, rank=2, noise=0.05)
+        )
+        keys = jax.random.split(jax.random.PRNGKey(4), n)
+        u_r = jnp.asarray(rng.standard_normal((n, b1 * b2, 3)).astype(np.float32))
+        dec_r = jnp.ones((n, 3), jnp.int32)
+        kw = dict(
+            max_rank=3, temporal_avg_factor=4, spatial_avg_factor=2,
+            spatial_threshold=1e9, temporal_threshold=1e9,
+            spatial_denoiser=identity, temporal_denoiser=identity,
+        )
+        # no zeros -> no-op tier
+        none = jnp.zeros((n,), bool)
+        u0, dec0 = _fallback_rerun(
+            window, keys, u_r, dec_r, none, jnp.int32(0), 2, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(u0), np.asarray(u_r))
+        # more zeros than the capacity -> all-blocks tier, still correct
+        many = jnp.ones((n,), bool).at[0].set(False)
+        n_zero = jnp.sum(many.astype(jnp.int32))
+        u_m, _ = _fallback_rerun(
+            window, keys, u_r, dec_r, many, n_zero, 2, **kw
+        )
+        u_full, _ = _fallback_rerun(
+            window, keys, u_r, dec_r, many, n_zero, n, **kw
+        )
+        np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_full), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(u_m)[0], np.asarray(u_r)[0])
+
+
 class TestThresholdHeuristic:
     def test_thresholds_reasonable(self):
         s_thr, t_thr = threshold_heuristic(
