@@ -59,6 +59,102 @@ def run_once(movie, quiet=True):
     return pmd, elapsed
 
 
+# Peak bf16 matmul TFLOP/s per chip by device kind substring (public specs).
+_PEAK_BF16_TFLOPS = [
+    ("v6e", 918.0),
+    ("v6", 918.0),
+    ("v5p", 459.0),
+    ("v5e", 197.0),
+    ("v5 lite", 197.0),
+    ("v5litepod", 197.0),
+    ("v4", 275.0),
+]
+
+
+def _chip_peak_tflops():
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    for key, peak in _PEAK_BF16_TFLOPS:
+        if key in kind:
+            return peak, kind
+    return 197.0, kind or "unknown"  # v5e default (BASELINE.json target HW)
+
+
+def estimate_pipeline_flops(
+    d1, d2, t, frame_range, block, max_components, background_rank,
+    temporal_avg_factor, spatial_avg_factor, sim_iters, rank_prune,
+    rank_prune_factor, ranks,
+):
+    """Model matmul FLOPs (2*m*n*k per product) of one pipeline run.
+
+    Counts the dominant countable products per stage — Welch DFT, background
+    rSVD, init background projection, threshold Monte-Carlo, per-block
+    two-stage kernels, Gram quadratic + eigh, streaming V regression, final
+    reformat. Elementwise traffic and small QR/SVD tails are excluded, so
+    treat as a ~±20% model, good enough to place the run on the roofline.
+    ``ranks`` is the pipeline's reported rank dict (pipeline_ranks).
+    """
+    from localmd_tpu.ops.tiling import BlockGrid
+
+    d = d1 * d2
+    b1 = b2 = block
+    fl = 0.0
+
+    # stats pass: batched Welch partial-DFT (2 matmuls x 7 segments x 64 bins)
+    n_chunks = (t + 1023) // 1024
+    fl += n_chunks * d * 2 * (2 * 7 * 256 * 64)
+    # background rSVD over min(1000, t) standardized frames
+    k_bg_sk = background_rank + 10
+    n_bg = min(1000, t)
+    fl += 2 * d * n_bg * k_bg_sk * 2 + 2 * d * k_bg_sk * k_bg_sk
+    # init frames: standardize + project out background (2 products)
+    fl += 2 * d * background_rank * frame_range * 2
+    # threshold Monte-Carlo: sim_iters rSVDs on (b1*b2, binned window)
+    p = b1 * b2
+    t_bin = frame_range // temporal_avg_factor
+    fl += sim_iters * 2 * p * t_bin * (1 + 10) * 2
+
+    # block stage
+    grid = BlockGrid(d1, d2, (b1, b2))
+    nb = grid.n_blocks
+    p_c = -(-b1 // spatial_avg_factor) * -(-b2 // spatial_avg_factor)
+    t_b = t_bin * temporal_avg_factor
+    mc = max_components
+    per_block = (
+        2 * p_c * t_bin * (mc + 10) * 2      # coarse sketch + QtX
+        + 2 * p_c * (mc + 10) * t_b          # coarse temporal projection
+        + 2 * p * t_b * mc                   # full-res spatial projection
+        + 2 * p * mc * t_b * 2               # v_new + temporal projector
+    )
+    fl += nb * per_block
+
+    # factorized SVD
+    m = ranks["pre_reduction"]
+    nnz = nb * p * mc + d * background_rank  # blocked-sparse U entries
+    if rank_prune:
+        cols = max(1, int(min(m, frame_range) * rank_prune_factor))
+        fl += 2 * m * frame_range * cols     # random projection of V
+    else:
+        cols = frame_range
+    r_cols = min(m, cols)
+    fl += 2 * nnz * r_cols                   # Z = U @ right
+    fl += 2 * d * r_cols * r_cols            # quad = Z^T Z
+    fl += 10 * r_cols ** 3                   # eigh (rough)
+    fl += 2 * m * r_cols * r_cols            # P = right @ eigvecs / s
+
+    # streaming V regression over the FULL movie
+    r_red = ranks["reduced"]
+    fl += 2 * nnz * r_red                    # A = U @ P
+    fl += 2 * d * r_red * t                  # chunked A~^T X
+    # final reformat (Gram trick on (r_red, t))
+    fl += 2 * r_red * r_red * t + 10 * r_red ** 3
+    return fl
+
+
 def main():
     try:
         import jax
@@ -79,10 +175,20 @@ def main():
         pmd, w = run_once(movie)
         warms.append(w)
     warm = min(warms)  # best-of-3: tunnel dispatch jitter dominates
+    median = sorted(warms)[len(warms) // 2]
 
     pixel_frames = d1 * d2 * t
     mpfs = pixel_frames / warm / 1e6
     baseline_per_chip = 125.0  # 1 Gpf/s north star on 8 chips
+
+    flops = estimate_pipeline_flops(
+        d1, d2, t, frame_range=1024, block=32, max_components=20,
+        background_rank=15, temporal_avg_factor=10, spatial_avg_factor=2,
+        sim_iters=250, rank_prune=True, rank_prune_factor=0.33,
+        ranks=pmd.pipeline_ranks,
+    )
+    peak_tflops, chip_kind = _chip_peak_tflops()
+    tflops = flops / warm / 1e12
     print(
         json.dumps(
             {
@@ -92,9 +198,20 @@ def main():
                 "vs_baseline": round(mpfs / baseline_per_chip, 4),
                 "detail": {
                     "warm_s": round(warm, 2),
+                    "median_s": round(median, 2),
                     "cold_s": round(cold, 2),
                     "frames": t,
                     "final_rank": pmd.rank,
+                    "model_tflop": round(flops / 1e12, 3),
+                    "achieved_tflops": round(tflops, 3),
+                    "mfu_vs_bf16_peak": round(tflops / peak_tflops, 5),
+                    "chip": chip_kind,
+                    "peak_bf16_tflops": peak_tflops,
+                    "note": (
+                        "matmul-FLOP model (~±20%); the pipeline is "
+                        "bandwidth/latency-dominated at this scale, not "
+                        "MXU-bound — Mpf/s is the metric of record"
+                    ),
                 },
             }
         )

@@ -584,4 +584,10 @@ def localmd_decomposition(
         counts=counts,
     )
     out.pipeline_timings = timings
+    out.pipeline_ranks = {
+        "blockwise": int(total_rank),
+        "pre_reduction": int(total_rank + k_bg),
+        "reduced": int(p.shape[1]),
+        "final": int(s_vals.shape[0]),
+    }
     return out
