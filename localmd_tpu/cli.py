@@ -39,6 +39,12 @@ def _add_compress(sub):
     p.add_argument("--raw-shape", nargs=3, type=int, default=None,
                    help="T d1 d2 for headerless raw binary input")
     p.add_argument("--raw-dtype", default="uint16")
+    p.add_argument("--welch-compat", default="scipy",
+                   choices=["scipy", "reference"],
+                   help="noise-sigma semantics: documented scipy Welch or "
+                        "strict reference-package parity")
+    p.add_argument("--no-cache-movie", action="store_true",
+                   help="disable the HBM movie cache (default: auto)")
 
 
 def _add_info(sub):
@@ -84,6 +90,8 @@ def main(argv=None):
             seed=args.seed,
             checkpoint_path=args.checkpoint,
             matmul_precision=args.matmul_precision,
+            welch_compat=args.welch_compat,
+            cache_movie=False if args.no_cache_movie else "auto",
         )
         pmd.to_npz(args.output)
         print(json.dumps({

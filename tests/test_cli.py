@@ -49,3 +49,83 @@ class TestCLI:
         # reconstruction close to the uint16 movie
         rel = np.linalg.norm(rec - movie_u16[:20]) / np.linalg.norm(movie_u16[:20])
         assert rel < 0.05, rel
+
+    def test_raw_binary_input(self, tmp_path, rng, capsys):
+        """Headerless raw binary via --raw-shape/--raw-dtype."""
+        t, d1, d2 = 300, 20, 20
+        movie = (rng.random((t, d1, d2)) * 3000 + 100).astype(np.uint16)
+        raw = str(tmp_path / "m.bin")
+        movie.tofile(raw)
+
+        npz = str(tmp_path / "out.npz")
+        cli_main([
+            "compress", raw, npz, "--raw-shape", "300", "20", "20",
+            "--raw-dtype", "uint16", "--blocks", "10", "10",
+            "--frame-range", "300", "--max-components", "4",
+            "--background-rank", "1", "--temporal-avg-factor", "4",
+            "--seed", "0", "--welch-compat", "reference",
+        ])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["shape"] == [300, 20, 20]
+
+        cli_main(["info", npz])
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["frames"] == 300 and info["fov_shape"] == [20, 20]
+
+    def test_checkpoint_resume(self, tmp_path, rng, capsys):
+        """--checkpoint: a rerun resumes from the stage files and produces
+        the identical factorization."""
+        t, d1, d2 = 280, 20, 20
+        movie = (rng.random((t, d1, d2)) * 3000).astype(np.uint16)
+        raw = str(tmp_path / "m.bin")
+        movie.tofile(raw)
+        ck = str(tmp_path / "ck")
+        args = [
+            "compress", raw, str(tmp_path / "a.npz"),
+            "--raw-shape", "280", "20", "20", "--blocks", "10", "10",
+            "--frame-range", "280", "--max-components", "4",
+            "--background-rank", "1", "--temporal-avg-factor", "4",
+            "--seed", "0", "--checkpoint", ck,
+        ]
+        cli_main(args)
+        capsys.readouterr()
+        import os
+
+        assert os.path.exists(ck + ".v.npz")  # stage files written
+        # rerun to a different output: resumes every stage
+        args[2] = str(tmp_path / "b.npz")
+        cli_main(args)
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["timings_s"]["block_decomposition"] < 1.0  # resumed, not recomputed
+        a = np.load(str(tmp_path / "a.npz"))
+        b = np.load(str(tmp_path / "b.npz"))
+        np.testing.assert_allclose(b["s"], a["s"], rtol=1e-6)
+        np.testing.assert_allclose(b["Vt"], a["Vt"], atol=1e-5)
+
+    def test_error_paths(self, tmp_path, rng, capsys):
+        import pytest
+
+        # unknown input format
+        bad = str(tmp_path / "movie.xyz")
+        with open(bad, "wb") as f:
+            f.write(b"not a movie")
+        with pytest.raises((ValueError, OSError)):
+            cli_main(["compress", bad, str(tmp_path / "o.npz"),
+                      "--frame-range", "10"])
+
+        # raw binary whose size contradicts --raw-shape
+        short = str(tmp_path / "short.bin")
+        np.zeros(100, np.uint16).tofile(short)
+        with pytest.raises(ValueError):
+            cli_main(["compress", short, str(tmp_path / "o.npz"),
+                      "--raw-shape", "300", "20", "20",
+                      "--frame-range", "300"])
+
+        # missing required subcommand
+        with pytest.raises(SystemExit):
+            cli_main([])
+
+        # export of a nonexistent npz
+        with pytest.raises(FileNotFoundError):
+            cli_main(["export", str(tmp_path / "nope.npz"),
+                      str(tmp_path / "r.npy")])
