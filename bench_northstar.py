@@ -134,12 +134,18 @@ def main():
 
     pixel_frames = t * D1 * D2
     mpfs = pixel_frames / elapsed / 1e6
-    # the movie streams twice (stats pass + V regression) in uint16
-    stream_bytes = 2 * n_bytes
+    # the movie streams twice (stats pass + V regression) in uint16, MINUS
+    # the HBM-cached prefix the V pass reads from device memory instead
+    cache = getattr(pmd, "pipeline_cache", {"cached_frames": 0})
+    cached_bytes = cache["cached_frames"] * D1 * D2 * 2
+    stream_bytes = 2 * n_bytes - cached_bytes
+    legs["cached_frames"] = cache["cached_frames"]
+    legs["streamed_GB"] = round(stream_bytes / 1e9, 2)
     legs["achieved_stream_MBps"] = round(stream_bytes / elapsed / 1e6, 1)
     if "h2d_sustained_MBps" in legs:
-        # 2 bytes/pixel-frame/pass x 2 passes: what the H2D leg alone permits
-        legs["h2d_bound_mpfs"] = round(legs["h2d_sustained_MBps"] / 4, 1)
+        # bytes-per-pixel-frame actually streamed: what the H2D leg permits
+        bpp = stream_bytes / pixel_frames
+        legs["h2d_bound_mpfs"] = round(legs["h2d_sustained_MBps"] / bpp, 1)
 
     print(
         json.dumps(

@@ -584,6 +584,10 @@ def localmd_decomposition(
         counts=counts,
     )
     out.pipeline_timings = timings
+    out.pipeline_cache = {
+        "cached_frames": int(getattr(load_obj, "_cache_frames", 0)),
+        "total_frames": int(t_total),
+    }
     out.pipeline_ranks = {
         "blockwise": int(total_rank),
         "pre_reduction": int(total_rank + k_bg),
