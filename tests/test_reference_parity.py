@@ -104,6 +104,31 @@ class TestStatisticsParity:
             ours.std_img, np.asarray(theirs.std_img), rtol=1e-4
         )
 
+    def test_std_images_match_ref_compat_multichunk(self, reference_localmd):
+        """T=1300 exercises the multi-chunk stats path: a full 1024-frame
+        chunk plus a 276-frame tail, each with its own effective nperseg in
+        compat mode. Both must match the reference loader chunk-for-chunk."""
+        from conftest import make_low_rank_movie
+        from localmd.pmd_loader import PMDLoader as RefLoader
+
+        from localmd_tpu.loader import PMDLoader
+
+        rng = np.random.default_rng(7)
+        movie = make_low_rank_movie(4, (1300, 18, 16), rng)
+        movie += 0.4 * rng.standard_normal(movie.shape).astype(np.float32)
+
+        ours = PMDLoader(
+            movie, background_rank=1, seed=0, welch_compat="reference"
+        )
+        np.random.seed(0)
+        theirs = RefLoader(movie, background_rank=1, num_workers=0)
+        np.testing.assert_allclose(
+            ours.mean_img, theirs.mean_img, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            ours.std_img, np.asarray(theirs.std_img), rtol=1e-4
+        )
+
     def test_mean_images_match(self, reference_localmd, test_movie):
         """PMDLoader mean image vs the reference loader on identical data."""
         from localmd.pmd_loader import PMDLoader as RefLoader
