@@ -53,14 +53,13 @@ def main():
     print(f"Saved {npz_path} ({os.path.getsize(npz_path) / 1e6:.1f} MB)")
 
     # ---- 4. QC diagnostics ----------------------------------------------------
-    n_qc = min(500, t_total)
-    raw = np.stack([np.asarray(dataset[i]) for i in range(n_qc)])
-    recon = np.asarray(pmd.reconstruct_frames(list(range(n_qc))))
-
-    corr = diagnostics.make_correlation_image(raw)
-    autocorr = diagnostics.make_autocorrelation_image(raw)
-    pmd_cov = diagnostics.make_pmd_correlation_image(raw, recon)
-    resid_cov = diagnostics.make_residual_correlation_image(raw, recon)
+    # streamed in bounded memory: the raw source is the (lazy) dataset and
+    # the PMD side is the PMDArray itself, reconstructed on device chunk by
+    # chunk — no dense denoised movie is ever materialized
+    corr = diagnostics.make_correlation_image(dataset)
+    autocorr = diagnostics.make_autocorrelation_image(dataset)
+    pmd_cov = diagnostics.make_pmd_correlation_image(dataset, pmd)
+    resid_cov = diagnostics.make_residual_correlation_image(dataset, pmd)
     fig = diagnostics.make_pmd_corr_diagnostic_plot(corr, autocorr, pmd_cov, resid_cov)
     panel_path = os.path.join(out_dir, "qc_panel")
     if hasattr(fig, "write_html"):

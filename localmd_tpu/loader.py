@@ -227,6 +227,7 @@ class PMDLoader:
         welch_compat: str = "scipy",
         cache_movie="auto",
         cache_fraction: float = 0.5,
+        cache_reserve_bytes: Optional[int] = None,
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -267,6 +268,10 @@ class PMDLoader:
         # every pass from disk (reference pmd_loader.py:203-291, 316-346).
         self._cache_policy = cache_movie
         self._cache_fraction = float(cache_fraction)
+        # Working-set bytes the DOWNSTREAM pipeline will need alongside the
+        # cache (init-frame f32 buffer + chunk programs); used only for the
+        # nominal-HBM fallback when memory_stats is unavailable.
+        self._cache_reserve_bytes = int(cache_reserve_bytes or 6e9)
         self._cache: Optional[jax.Array] = None
         self._cache_frames = 0
         self._key = make_key(seed)
@@ -317,11 +322,27 @@ class PMDLoader:
 
     # -- HBM movie cache --------------------------------------------------------
 
+    # Nominal HBM per chip by device kind, used when the runtime reports no
+    # memory_stats (the axon-tunneled TPU returns an empty dict).
+    _HBM_BY_KIND = [
+        ("v6e", 32e9),
+        ("v6", 32e9),
+        ("v5p", 95e9),
+        ("v5e", 16e9),
+        ("v5 lite", 16e9),
+        ("v4", 32e9),
+    ]
+
     def _plan_cache_frames(self) -> int:
         """How many leading frames to retain on device during the stats pass.
 
-        Quantized down to whole stats chunks (partial chunks are never
-        written, so a finer target would strand allocated HBM)."""
+        Budget source, in order: live ``memory_stats`` free memory x
+        ``cache_fraction``; else (TPU with no memory introspection) the
+        device kind's nominal HBM minus ``cache_reserve_bytes`` (the
+        pipeline passes its expected working set); else cache only on
+        explicit ``cache_movie=True``. Quantized down to whole stats chunks
+        (partial chunks are never written, so a finer target would strand
+        allocated HBM)."""
         if self._device_resident or not self._cache_policy:
             return 0
         t_total = self.shape[0]
@@ -331,17 +352,24 @@ class PMDLoader:
         per_frame = self.n_pixels * native.itemsize
         budget = None
         try:
-            stats = jax.devices()[0].memory_stats()
+            dev = jax.devices()[0]
+            stats = dev.memory_stats()
             if stats and "bytes_limit" in stats:
                 free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
                 budget = int(free * self._cache_fraction)
+            elif dev.platform == "tpu":
+                kind = dev.device_kind.lower()
+                for key, hbm in self._HBM_BY_KIND:
+                    if key in kind:
+                        budget = int(hbm * 0.95 - self._cache_reserve_bytes)
+                        break
         except Exception:
             budget = None
         if budget is None:
-            # no runtime memory introspection (e.g. CPU backend): cache only
+            # no memory introspection at all (e.g. CPU backend): cache only
             # on explicit opt-in, and then cache everything
             return t_total if self._cache_policy is True else 0
-        n = min(t_total, budget // per_frame)
+        n = min(t_total, max(0, budget) // per_frame)
         if n < t_total:
             n = (n // self.frame_constant) * self.frame_constant
         # not worth the bookkeeping below a couple of stats chunks

@@ -263,6 +263,14 @@ def localmd_decomposition(
         precomputed=precomputed or None,
         welch_compat=welch_compat,
         cache_movie=cache_movie,
+        # working set the pipeline needs alongside the HBM movie cache when
+        # the runtime reports no memory_stats: the f32 init-frame buffer
+        # plus chunk-program workspace
+        cache_reserve_bytes=int(
+            min(frame_range, dataset_obj.shape[0])
+            * dataset_obj.shape[1] * dataset_obj.shape[2] * 4
+            + 2.5e9
+        ),
     )
     if not ckpt.has("stats"):
         ckpt.save("stats", mean_img=load_obj.mean_img, std_img=load_obj.std_img)
@@ -365,11 +373,7 @@ def localmd_decomposition(
     # -- batched blockwise decomposition --------------------------------------
     grid = BlockGrid(d1, d2, (b1, b2), order=order)
     n_blocks = grid.n_blocks
-    display(
-        f"Decomposing {n_blocks} overlapping blocks "
-        f"({b1}x{b2}, max {max_components} comps/block) in batches of "
-        f"{min(block_batch_size, n_blocks)}"
-    )
+
 
     sden = spatial_denoiser if spatial_denoiser is not None else identity
     tden = temporal_denoiser if temporal_denoiser is not None else identity
@@ -413,6 +417,10 @@ def localmd_decomposition(
     if mesh is not None:
         n_dev = mesh.devices.size
         bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
+    display(
+        f"Decomposing {n_blocks} overlapping blocks "
+        f"({b1}x{b2}, max {max_components} comps/block) in batches of {bb}"
+    )
     if blocks_ckpt:
         loaded = ckpt.load("blocks")
         panels = jnp.asarray(loaded["panels"])
