@@ -271,7 +271,7 @@ class PMDLoader:
         # Working-set bytes the DOWNSTREAM pipeline will need alongside the
         # cache (init-frame f32 buffer + chunk programs); used only for the
         # nominal-HBM fallback when memory_stats is unavailable.
-        self._cache_reserve_bytes = int(cache_reserve_bytes or 6e9)
+        self._cache_reserve_bytes = int(cache_reserve_bytes or 7.5e9)
         self._cache: Optional[jax.Array] = None
         self._cache_frames = 0
         self._key = make_key(seed)
@@ -358,10 +358,15 @@ class PMDLoader:
                 free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
                 budget = int(free * self._cache_fraction)
             elif dev.platform == "tpu":
+                # no live introspection: budget from the nominal HBM with a
+                # 10% runtime haircut, minus the caller's declared working
+                # set — deliberately conservative (an OOM mid-pipeline costs
+                # far more than a smaller cache; the pipeline additionally
+                # drops the cache and retries if one still occurs)
                 kind = dev.device_kind.lower()
                 for key, hbm in self._HBM_BY_KIND:
                     if key in kind:
-                        budget = int(hbm * 0.95 - self._cache_reserve_bytes)
+                        budget = int(hbm * 0.9 - self._cache_reserve_bytes)
                         break
         except Exception:
             budget = None
@@ -376,6 +381,16 @@ class PMDLoader:
         if n < min(t_total, 2 * self.frame_constant):
             return 0
         return int(n)
+
+    def release_cache(self) -> None:
+        """Drop the HBM movie cache (frees its device memory); subsequent
+        reads stream from the dataset again."""
+        if self._cache is not None:
+            display(
+                f"Releasing the HBM movie cache ({self._cache_frames} frames)"
+            )
+        self._cache = None
+        self._cache_frames = 0
 
     def _cache_serves(self, frames) -> bool:
         """True iff ``frames`` lies entirely inside the cached prefix."""

@@ -269,7 +269,7 @@ def localmd_decomposition(
         cache_reserve_bytes=int(
             min(frame_range, dataset_obj.shape[0])
             * dataset_obj.shape[1] * dataset_obj.shape[2] * 4
-            + 2.5e9
+            + 4e9  # chunk programs + fused standardize/filter temporaries
         ),
     )
     if not ckpt.has("stats"):
@@ -331,7 +331,18 @@ def localmd_decomposition(
         data = None
     else:
         display("Loading and filtering initialization frames")
-        data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
+        try:
+            data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
+        except Exception as e:  # pragma: no cover - hardware OOM path
+            # If the HBM movie cache left too little memory for the init
+            # buffer, drop it and retry: a smaller cache win is better than
+            # a dead run (the fallback budget is an estimate on runtimes
+            # that report no memory_stats).
+            if "RESOURCE_EXHAUSTED" not in str(e) or load_obj._cache is None:
+                raise
+            display("WARNING: init-frame load hit device OOM; retrying without the movie cache")
+            load_obj.release_cache()
+            data, temporal_basis_crop = load_obj.temporal_crop_with_filter(frames)
         if pixel_weighting is not None:
             data = data * jnp.asarray(pixel_weighting, dtype=data.dtype)[:, :, None]
 
