@@ -71,13 +71,14 @@ def main():
     # ---- 5. per-component browser ---------------------------------------------
     comp_dir = os.path.join(out_dir, "components")
     os.makedirs(comp_dir, exist_ok=True)
-    diagnostics.plot_pmd_components(pmd, comp_dir)
+    diagnostics.plot_pmd_components(pmd, comp_dir, max_components=40)
     index = diagnostics.construct_index(comp_dir)
     print(f"Component browser: {index}")
 
     # ---- 6. denoised movie export + cleanup -----------------------------------
     denoised_path = os.path.join(out_dir, "denoised.tif")
-    pmd.export_tiff(denoised_path, frames=range(n_qc), dtype="uint16")
+    n_export = min(500, t_total)
+    pmd.export_tiff(denoised_path, frames=range(n_export), dtype="uint16")
     print(f"Denoised movie: {denoised_path}")
     pmd.close()  # release device factors (host slicing keeps working)
 

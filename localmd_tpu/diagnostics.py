@@ -408,8 +408,13 @@ def make_pmd_component_graph(
     return fig
 
 
-def plot_pmd_components(pmd_movie, folder: str, filename_prefix: str = "Component"):
-    """Write one HTML QC page per component (reference :363-389)."""
+def plot_pmd_components(pmd_movie, folder: str, filename_prefix: str = "Component",
+                        max_components: int | None = None):
+    """Write one HTML QC page per component (reference :363-389).
+
+    ``max_components`` caps the report at the top-N components by singular
+    value (a high-rank decomposition can hold hundreds; rendering them all
+    is rarely useful and costs ~1 s/page)."""
     if not os.path.exists(folder):
         raise ValueError(f"folder {folder} does not exist; create it first")
 
@@ -418,7 +423,8 @@ def plot_pmd_components(pmd_movie, folder: str, filename_prefix: str = "Componen
     _, d1, d2 = pmd_movie.shape
     total_var = np.sum(np.square(s))
 
-    for i in range(r.shape[1]):
+    n_render = r.shape[1] if max_components is None else min(r.shape[1], max_components)
+    for i in range(n_render):
         comp = u.dot(r[:, i]).reshape((d1, d2), order=order)
         explained = np.square(s[i]) / total_var
         title = f"Comp {i}, Var explained {explained:3f}"
