@@ -53,13 +53,13 @@ def main():
     print(f"Saved {npz_path} ({os.path.getsize(npz_path) / 1e6:.1f} MB)")
 
     # ---- 4. QC diagnostics ----------------------------------------------------
-    # streamed in bounded memory: the raw source is the (lazy) dataset and
-    # the PMD side is the PMDArray itself, reconstructed on device chunk by
-    # chunk — no dense denoised movie is ever materialized
-    corr = diagnostics.make_correlation_image(dataset)
-    autocorr = diagnostics.make_autocorrelation_image(dataset)
-    pmd_cov = diagnostics.make_pmd_correlation_image(dataset, pmd)
-    resid_cov = diagnostics.make_residual_correlation_image(dataset, pmd)
+    # ONE streaming sweep computes all four images in bounded memory: the
+    # raw source is the (lazy) dataset and the PMD side is the PMDArray
+    # itself, reconstructed on device chunk by chunk — no dense denoised
+    # movie is ever materialized
+    qc = diagnostics.compute_qc_images(dataset, pmd)
+    corr, autocorr = qc["correlation"], qc["autocorrelation"]
+    pmd_cov, resid_cov = qc["pmd_cov"], qc["residual_cov"]
     fig = diagnostics.make_pmd_corr_diagnostic_plot(corr, autocorr, pmd_cov, resid_cov)
     panel_path = os.path.join(out_dir, "qc_panel")
     if hasattr(fig, "write_html"):

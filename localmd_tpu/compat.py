@@ -51,6 +51,24 @@ def _fov_to_flat(block: Array) -> Array:
     return flatten_fov(jnp.asarray(block), "F")
 
 
+def _placeholder_rank(rank_placeholder) -> int:
+    """Reference convention: ``rank_placeholder``'s LENGTH is the rank
+    (reference decomposition.py:39, 60); a plain int is also accepted."""
+    if isinstance(rank_placeholder, (int, np.integer)):
+        return int(rank_placeholder)
+    return int(np.shape(rank_placeholder)[0])
+
+
+def truncated_random_svd_ref(input_matrix: Array, key: Array, rank_placeholder):
+    """Reference-signature randomized SVD (reference decomposition.py:37-73):
+    the rank is carried by ``rank_placeholder``'s shape. Thin adapter over
+    :func:`localmd_tpu.ops.linalg.truncated_random_svd` (whose rank is a
+    static int)."""
+    return truncated_random_svd(
+        jnp.asarray(input_matrix), key, _placeholder_rank(rank_placeholder)
+    )
+
+
 def decomposition_no_normalize_approx(
     block: Array, key: Array, rank_placeholder: Array
 ) -> Tuple[Array, Array]:
@@ -58,7 +76,7 @@ def decomposition_no_normalize_approx(
     (reference decomposition.py:76-99). Returns (spatial_stats, temporal_stats),
     each shape (rank,)."""
     d1, d2, t = block.shape
-    rank = rank_placeholder.shape[0]
+    rank = _placeholder_rank(rank_placeholder)
     u, s, v = truncated_random_svd(_fov_to_flat(block), key, rank)
     v = s[:, None] * v
     u_img = unflatten_fov(u, d1, d2, "F")                 # (d1, d2, r)
@@ -90,7 +108,7 @@ def single_block_md(
 
     Returns (u (d1, d2, r) orthonormal, good_comps (r,), v (r, t))."""
     d1, d2, t = block.shape
-    rank = rank_placeholder.shape[0]
+    rank = _placeholder_rank(rank_placeholder)
     u, dec, v = single_block_md_batched(
         jnp.asarray(block)[None],
         jnp.asarray(key)[None],
@@ -117,7 +135,7 @@ def single_residual_block_md(
     """Residual components orthogonal to an existing spatial basis
     (reference decomposition.py:333-387). ``existing``: (d1, d2, S)."""
     d1, d2, t = block.shape
-    rank = rank_placeholder.shape[0]
+    rank = _placeholder_rank(rank_placeholder)
     existing_flat = flatten_fov(jnp.asarray(existing), "F")[None]  # (1, p, S)
     u, dec, v = single_residual_block_md_batched(
         jnp.asarray(block)[None],

@@ -18,12 +18,13 @@ from localmd_tpu.compat import (
     rank_simulation,
     single_block_md,
     single_residual_block_md,
+    truncated_random_svd_ref as truncated_random_svd,
     windowed_pmd,
 )
 from localmd_tpu.engine import identity, threshold_heuristic
 from localmd_tpu.ops.pooling import downsample_average_pooling
 from localmd_tpu.factorization import compute_lowrank_factorized_svd
-from localmd_tpu.ops.linalg import projected_svd, truncated_random_svd
+from localmd_tpu.ops.linalg import projected_svd
 from localmd_tpu.ops.roughness import (
     construct_final_fitness_decision,
     filter_by_failures,

@@ -161,6 +161,32 @@ def make_correlation_image(
     return np.asarray(_corr_finalize(s1, s2, cross, t, mode, (d1, d2)))
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _autocorr_chunk_update(lag: int, n_tail: int, s1, s2, c, ext):
+    """One fused program per chunk (an eager per-op loop would pay ~8
+    dispatch round trips per chunk on remote TPUs). ``ext`` is the previous
+    ``lag``-frame tail (already reference-subtracted) concatenated with the
+    new offset chunk; ``n_tail`` leading frames are excluded from the
+    moment sums (they were counted in the previous step)."""
+    x = ext[n_tail:]
+    s1 = s1 + jnp.sum(x, axis=0)
+    s2 = s2 + jnp.sum(x * x, axis=0)
+    c = c + jnp.sum(ext[:-lag] * ext[lag:], axis=0)
+    return s1, s2, c, ext[-lag:]
+
+
+@jax.jit
+def _autocorr_finalize(s1, s2, c, head, tail, n):
+    sa1 = s1 - jnp.sum(head, axis=0)          # frames [lag, T)
+    sa2 = s2 - jnp.sum(head * head, axis=0)
+    sb1 = s1 - jnp.sum(tail, axis=0)          # frames [0, T - lag)
+    sb2 = s2 - jnp.sum(tail * tail, axis=0)
+    ma, mb = sa1 / n, sb1 / n
+    na = jnp.sqrt(jnp.maximum(sa2 - n * ma * ma, 0.0))
+    nb = jnp.sqrt(jnp.maximum(sb2 - n * mb * mb, 0.0))
+    return (c - n * ma * mb) / (na * nb)
+
+
 def make_autocorrelation_image(
     movie, lag: int = 1, chunk_frames: int = DEFAULT_CHUNK_FRAMES
 ) -> np.ndarray:
@@ -186,23 +212,14 @@ def make_autocorrelation_image(
         if ref is None:
             ref = jnp.mean(chunk, axis=0)
             head = chunk[:lag] - ref
-        x = chunk - ref
-        s1 = s1 + jnp.sum(x, axis=0)
-        s2 = s2 + jnp.sum(x * x, axis=0)
-        ext = x if tail is None else jnp.concatenate([tail, x], axis=0)
-        if ext.shape[0] > lag:
-            c = c + jnp.sum(ext[:-lag] * ext[lag:], axis=0)
-        tail = ext[-lag:]
+            ext = chunk - ref
+            n_tail = 0
+        else:
+            ext = jnp.concatenate([tail, chunk - ref], axis=0)
+            n_tail = lag
+        s1, s2, c, tail = _autocorr_chunk_update(lag, n_tail, s1, s2, c, ext)
 
-    n = t - lag
-    sa1 = s1 - jnp.sum(head, axis=0)          # frames [lag, T)
-    sa2 = s2 - jnp.sum(head * head, axis=0)
-    sb1 = s1 - jnp.sum(tail, axis=0)          # frames [0, T - lag)
-    sb2 = s2 - jnp.sum(tail * tail, axis=0)
-    ma, mb = sa1 / n, sb1 / n
-    na = jnp.sqrt(jnp.maximum(sa2 - n * ma * ma, 0.0))
-    nb = jnp.sqrt(jnp.maximum(sb2 - n * mb * mb, 0.0))
-    return np.asarray((c - n * ma * mb) / (na * nb))
+    return np.asarray(_autocorr_finalize(s1, s2, c, head, tail, t - lag))
 
 
 @partial(jax.jit, static_argnums=(5, 6))
@@ -290,6 +307,91 @@ def make_residual_correlation_image(
     return _streamed_scaled_cov(
         original_movie, pmd_movie, mode, chunk_frames, residual=True
     )
+
+
+def _crosses(y, acc):
+    updates = []
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        updates.append(acc[i] + jnp.sum(y * jnp.roll(y, (dy, dx), axis=(1, 2)), axis=0))
+    return jnp.stack(updates)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _qc_update(lag: int, first: bool, state, tail, raw, pmd,
+               ref_r, ref_p, ref_d):
+    """One fused program updating EVERY QC accumulator from one chunk pair."""
+    (s1_r, s2_r, cr_r, s1_p, cr_p, s1_d, cr_d, c_auto) = state
+    x = raw - ref_r
+    p = pmd - ref_p
+    d = (raw - pmd) - ref_d
+    s1_r = s1_r + jnp.sum(x, axis=0)
+    s2_r = s2_r + jnp.sum(x * x, axis=0)
+    cr_r = _crosses(x, cr_r)
+    s1_p = s1_p + jnp.sum(p, axis=0)
+    cr_p = _crosses(p, cr_p)
+    s1_d = s1_d + jnp.sum(d, axis=0)
+    cr_d = _crosses(d, cr_d)
+    ext = x if first else jnp.concatenate([tail, x], axis=0)
+    c_auto = c_auto + jnp.sum(ext[:-lag] * ext[lag:], axis=0)
+    return (s1_r, s2_r, cr_r, s1_p, cr_p, s1_d, cr_d, c_auto), ext[-lag:]
+
+
+def compute_qc_images(
+    original_movie,
+    pmd_movie,
+    mode: str = "max",
+    lag: int = 1,
+    chunk_frames: int = DEFAULT_CHUNK_FRAMES,
+) -> dict:
+    """All four QC images from ONE streaming sweep over the movie pair.
+
+    The separate ``make_*`` functions each re-stream the raw movie (and
+    re-reconstruct the PMDArray); the underlying moments are all additive,
+    so this computes raw correlation, raw lag-``lag`` autocorrelation, PMD
+    scaled covariance, and residual scaled covariance from a single pass —
+    one chunk read + one on-device reconstruction per span, one fused
+    update program. Returns a dict with keys ``correlation``,
+    ``autocorrelation``, ``pmd_cov``, ``residual_cov``.
+    """
+    t = _n_frames(original_movie)
+    if t <= lag:
+        raise ValueError(f"need more than lag={lag} frames, got {t}")
+    chunk_frames = max(chunk_frames, 2 * lag)
+    d1, d2 = original_movie.shape[1], original_movie.shape[2]
+
+    img = lambda: jnp.zeros((d1, d2), jnp.float32)
+    stack = lambda: jnp.zeros((8, d1, d2), jnp.float32)
+    state = (img(), img(), stack(), img(), stack(), img(), stack(), img())
+    refs = head = tail = None
+    for a, b in _chunk_spans(t, chunk_frames):
+        raw = _load_frames(original_movie, a, b)
+        pmd = _load_frames(pmd_movie, a, b)
+        first = refs is None
+        if first:
+            refs = (
+                jnp.mean(raw, axis=0),
+                jnp.mean(pmd, axis=0),
+                jnp.mean(raw - pmd, axis=0),
+            )
+            head = raw[:lag] - refs[0]
+            tail = jnp.zeros((lag, d1, d2), jnp.float32)  # unused on first
+        state, tail = _qc_update(lag, first, state, tail, raw, pmd, *refs)
+
+    (s1_r, s2_r, cr_r, s1_p, cr_p, s1_d, cr_d, c_auto) = state
+    return {
+        "correlation": np.asarray(
+            _corr_finalize(s1_r, s2_r, cr_r, t, mode, (d1, d2))
+        ),
+        "autocorrelation": np.asarray(
+            _autocorr_finalize(s1_r, s2_r, c_auto, head, tail, t - lag)
+        ),
+        "pmd_cov": np.asarray(
+            _scaled_cov_finalize(s1_p, cr_p, s1_r, s2_r, t, mode, (d1, d2))
+        ),
+        "residual_cov": np.asarray(
+            _scaled_cov_finalize(s1_d, cr_d, s1_r, s2_r, t, mode, (d1, d2))
+        ),
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -406,9 +406,10 @@ class PMDLoader:
             start, stop, step = frames.indices(self.shape[0])
             return step == 1 and stop <= n
         if isinstance(frames, (int, np.integer)):
-            return int(frames) < n
+            # negative indices address the movie TAIL, not the cached prefix
+            return 0 <= int(frames) < n
         arr = np.asarray(frames)
-        return arr.size > 0 and int(arr.max()) < n
+        return arr.size > 0 and int(arr.min()) >= 0 and int(arr.max()) < n
 
     def _load_raw(self, frames):
         """(T, d1, d2) chunk in the dataset's NATIVE dtype. For host datasets:

@@ -206,6 +206,35 @@ def localmd_decomposition(
     else:
         pixel_weighting_token = None
 
+    def _value_token(v, depth=0) -> bytes:
+        """Content bytes of a captured value. repr() is NOT safe here: it
+        truncates large arrays (collisions -> silently stale resumes) and
+        embeds per-process addresses for functions/objects (spurious
+        invalidation every run)."""
+        if depth > 3:
+            return b"<deep>"
+        if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+            return repr(v).encode()
+        if isinstance(v, np.ndarray):
+            return b"nd" + str(v.shape).encode() + str(v.dtype).encode() + v.tobytes()
+        if isinstance(v, (jnp.ndarray, jax.Array)):
+            try:
+                return _value_token(np.asarray(v), depth)
+            except Exception:
+                return b"<jax-array>"
+        if isinstance(v, (tuple, list)):
+            return b"[" + b",".join(_value_token(x, depth + 1) for x in v) + b"]"
+        if isinstance(v, dict):
+            return b"{" + b",".join(
+                _value_token(k, depth + 1) + b":" + _value_token(x, depth + 1)
+                for k, x in sorted(v.items(), key=lambda kv: repr(kv[0]))
+            ) + b"}"
+        code = getattr(v, "__code__", None)
+        if code is not None:  # captured function: hash its content, not id
+            return code.co_code + repr(code.co_consts).encode()
+        # unknown object: type identity only (stable across processes)
+        return repr(type(v)).encode()
+
     def _fn_token(fn):
         if fn is None:
             return None
@@ -218,7 +247,7 @@ def localmd_decomposition(
             payload = code.co_code + repr(code.co_consts).encode()
             for cell in getattr(fn, "__closure__", None) or ():
                 try:
-                    payload += repr(cell.cell_contents).encode()
+                    payload += _value_token(cell.cell_contents)
                 except ValueError:  # empty cell
                     payload += b"<empty>"
             name += ":" + hashlib.sha256(payload).hexdigest()[:12]

@@ -308,6 +308,10 @@ class PMDArray:
                 self._ensure_csr()
                 _ = self.r, self.v
             self._blocksparse = None
+        elif materialize and self._v_host is None and self._v_src is not None:
+            # scipy/npz-built arrays: V may still be the (possibly device)
+            # source array; take the host copy so slicing keeps working
+            _ = self.v
         self._combined_temporal_dev = None
         self._panels_c = None
         self._r_padded = None

@@ -101,6 +101,24 @@ class TestShimStructure:
         assert sp.shape == (1,) and tp.shape == (1,)
         assert float(sp[0]) > 0 and float(tp[0]) > 0
 
+    def test_truncated_random_svd_reference_signature(self, rng):
+        """The drop-in namespace's truncated_random_svd must accept the
+        reference's rank_placeholder calling convention (its shape IS the
+        rank) — regression: re-exporting the static-int-rank implementation
+        crashed reference-style calls."""
+        from localmd_tpu.decomposition import truncated_random_svd
+
+        mat = rng.standard_normal((60, 40)).astype(np.float32)
+        u, s, vt = truncated_random_svd(
+            jnp.asarray(mat), jax.random.PRNGKey(0), np.zeros(5)
+        )
+        assert u.shape == (60, 5) and s.shape == (5,) and vt.shape == (5, 40)
+        un = np.asarray(u)
+        np.testing.assert_allclose(un.T @ un, np.eye(5), atol=1e-3)
+        # int rank also accepted
+        u2, _, _ = truncated_random_svd(jnp.asarray(mat), jax.random.PRNGKey(0), 5)
+        np.testing.assert_allclose(np.asarray(u2), un, atol=1e-5)
+
     def test_get_temporal_projector(self, rng):
         from localmd_tpu.compat import get_temporal_projector
 

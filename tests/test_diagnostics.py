@@ -136,6 +136,28 @@ class TestStreamingDiagnostics:
         want = make_correlation_image(movie.astype(np.float32), "max")
         np.testing.assert_allclose(ours, want, atol=1e-4)
 
+    def test_compute_qc_images_matches_individual(self, rng):
+        """The single-sweep combined QC must equal the four standalone
+        functions (the moments are identical; only the streaming is shared)."""
+        from localmd_tpu.diagnostics import compute_qc_images
+
+        raw = (rng.standard_normal((120, 9, 8)) * 2 + 40).astype(np.float32)
+        pmd = raw + 0.1 * rng.standard_normal(raw.shape).astype(np.float32)
+        out = compute_qc_images(raw, pmd, "max", lag=2, chunk_frames=31)
+        np.testing.assert_allclose(
+            out["correlation"], make_correlation_image(raw, "max"), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            out["autocorrelation"], make_autocorrelation_image(raw, 2), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            out["pmd_cov"], make_pmd_correlation_image(raw, pmd, "max"), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            out["residual_cov"],
+            make_residual_correlation_image(raw, pmd, "max"), atol=1e-4,
+        )
+
     def test_pmd_array_source(self, rng):
         """QC on a PMDArray reconstructs frames on device per chunk — the
         dense denoised movie is never materialized."""

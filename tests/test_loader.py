@@ -266,6 +266,21 @@ class TestHBMMovieCache:
             np.asarray(loader._load_raw([5, 150, 500])), movie[[5, 150, 500]]
         )
 
+    def test_negative_indices_bypass_partial_cache(self, rng):
+        """Negative frame indices address the movie TAIL; a prefix cache
+        must not serve them — regression: cache[-5] returned frame
+        n_cached-5 instead of movie frame T-5."""
+        movie = self._make(rng, t=700)
+        loader = PMDLoader(movie, background_rank=0, seed=0, cache_movie=False)
+        loader._cache = jnp.asarray(movie[:300])
+        loader._cache_frames = 300
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw(-5)), movie[-5][None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader._load_raw([-5, 10])), movie[[-5, 10]]
+        )
+
     def test_auto_policy_without_memory_stats_is_off(self, rng):
         movie = self._make(rng)
         loader = PMDLoader(movie, background_rank=0, seed=0, cache_movie="auto")

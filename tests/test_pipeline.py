@@ -464,6 +464,61 @@ class TestHBMCachePipeline:
         np.testing.assert_allclose(cached[7], plain[7], atol=1e-5)
 
 
+class TestCloseScipyBuilt:
+    def test_close_keeps_npz_loaded_arrays_usable(self, rng, tmp_path):
+        """Default close() on a scipy/npz-built PMDArray (no device factors)
+        must keep slicing working — regression: it used to drop the V source
+        because the materialize step was gated on the blocksparse path."""
+        from localmd_tpu import load_decomposition
+
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "d.npz")
+        pmd.to_npz(path)
+        loaded = load_decomposition(path)
+        before = loaded[5]
+        loaded.close()          # materialize=True default
+        np.testing.assert_allclose(loaded[5], before, atol=1e-6)
+
+
+class TestFingerprintValueTokens:
+    def test_large_array_closure_change_invalidates(self, rng, tmp_path):
+        """A denoiser capturing a LARGE array must invalidate the resume
+        fingerprint when only a middle element changes — regression: repr()
+        truncation made all big arrays hash identically."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng, noise=0.2)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "ck")
+
+        def make_weighting_denoiser(w):
+            def den(x):
+                return x * jnp.asarray(w, dtype=x.dtype)[None, :]
+            return den
+
+        w1 = np.ones(280, dtype=np.float32)         # full init-window length
+        w2 = w1.copy()
+        w2[140] = 25.0                               # middle element only
+        first = localmd_decomposition(
+            movie, checkpoint_path=path,
+            temporal_denoiser=make_weighting_denoiser(w1), **kw
+        )
+        resumed = localmd_decomposition(
+            movie, checkpoint_path=path,
+            temporal_denoiser=make_weighting_denoiser(w2), **kw
+        )
+        fresh = localmd_decomposition(
+            movie, temporal_denoiser=make_weighting_denoiser(w2), **kw
+        )
+        np.testing.assert_allclose(resumed[7], fresh[7], atol=1e-5)
+        assert not np.allclose(resumed[7], first[7], atol=1e-3)
+
+
 class TestSeededReproducibility:
     def test_block_batch_size_does_not_change_results(self, rng):
         """Block sketches are keyed per GLOBAL block, not per batch: the
