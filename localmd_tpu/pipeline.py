@@ -436,16 +436,34 @@ def localmd_decomposition(
         n_windows_global = len(range(0, crop_avg_constant, wl_eff))
         block_keys = engine.window_keys(sub, n_windows_global, n_blocks)
     # Bound the block batch so the fused chunk step's working set (patches +
-    # ~3 same-sized intermediates) fits: a quarter of currently-free device
-    # memory when the runtime reports it, else a 1 GB floor. Bigger chunks =
-    # fewer program dispatches (each costs a round trip on tunneled TPUs).
+    # ~3 same-sized intermediates) fits: 40% of currently-free device memory
+    # when the runtime reports it; on TPUs with no memory introspection
+    # (the axon tunnel returns an empty dict), 40% of nominal HBM minus the
+    # known live buffers (movie cache, init crop, device-resident movie);
+    # else a 1 GB floor. Bigger chunks = fewer program dispatches (each
+    # costs a round trip on tunneled TPUs: a 1 GB floor at 512x512x1024
+    # means 31 chunk dispatches ~ 0.3 s of pure latency).
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
     budget = int(1e9)
     try:
-        stats = jax.devices()[0].memory_stats()
+        dev = jax.devices()[0]
+        stats = dev.memory_stats()
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
             budget = max(budget, int(free * 0.4))
+        elif dev.platform == "tpu":
+            kind = dev.device_kind.lower()
+            for key_kind, hbm in PMDLoader._HBM_BY_KIND:
+                if key_kind in kind:
+                    used = d1 * d2 * crop_avg_constant * 4  # init crop
+                    cache = getattr(load_obj, "_cache", None)
+                    if cache is not None:
+                        used += load_obj._cache_frames * d1 * d2 * cache.dtype.itemsize
+                    if load_obj._device_resident:
+                        arr = load_obj.dataset._array
+                        used += arr.size * arr.dtype.itemsize
+                    budget = max(budget, int((hbm * 0.9 - used) * 0.4))
+                    break
     except Exception:
         pass
     bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
