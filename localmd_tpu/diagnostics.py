@@ -36,7 +36,7 @@ import io
 import os
 import re
 from functools import partial
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +52,14 @@ except ImportError:
 
 # The 8 spatial neighbor offsets.
 _SHIFTS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _valid_mask(d1: int, d2: int, dy: int, dx: int):
+    """Pixels whose (dy, dx) neighbor exists (jnp.roll wraps; wrapped
+    positions are masked out at finalize)."""
+    yy = jnp.arange(d1)[:, None]
+    xx = jnp.arange(d2)[None, :]
+    return (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
 
 
 def _neighbor_reduce(products, valids, mode: str):
@@ -102,16 +110,20 @@ def _chunk_spans(t: int, chunk_frames: int):
 # whole movie in memory (reference diagnostic_plots.py:227-305).
 
 
+def _crosses(y, acc):
+    """Accumulate the 8 shifted cross-product images of ``y`` into ``acc``."""
+    updates = []
+    for i, (dy, dx) in enumerate(_SHIFTS):
+        updates.append(acc[i] + jnp.sum(y * jnp.roll(y, (dy, dx), axis=(1, 2)), axis=0))
+    return jnp.stack(updates)
+
+
 @jax.jit
 def _moment_update(s1, s2, cross, chunk, ref):
     x = chunk - ref
     s1 = s1 + jnp.sum(x, axis=0)
     s2 = s2 + jnp.sum(x * x, axis=0)
-    updates = []
-    for i, (dy, dx) in enumerate(_SHIFTS):
-        xs = jnp.roll(x, (dy, dx), axis=(1, 2))
-        updates.append(cross[i] + jnp.sum(x * xs, axis=0))
-    return s1, s2, jnp.stack(updates)
+    return s1, s2, _crosses(x, cross)
 
 
 def _accumulate_moments(source, chunk_frames: int):
@@ -139,11 +151,8 @@ def _corr_finalize(s1, s2, cross, t, mode, shape):
     for i, (dy, dx) in enumerate(_SHIFTS):
         ms = jnp.roll(m, (dy, dx), axis=(0, 1))
         norms = jnp.roll(norm, (dy, dx), axis=(0, 1))
-        yy = jnp.arange(d1)[:, None]
-        xx = jnp.arange(d2)[None, :]
-        valid = (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
         products.append((cross[i] - t * m * ms) / (norm * norms))
-        valids.append(valid)
+        valids.append(_valid_mask(d1, d2, dy, dx))
     return _neighbor_reduce(products, valids, mode)
 
 
@@ -233,12 +242,9 @@ def _scaled_cov_finalize(s1_t, cross_t, s1_r, s2_r, t, mode, shape):
     for i, (dy, dx) in enumerate(_SHIFTS):
         ms = jnp.roll(m_t, (dy, dx), axis=(0, 1))
         rs = jnp.roll(raw_std, (dy, dx), axis=(0, 1))
-        yy = jnp.arange(d1)[:, None]
-        xx = jnp.arange(d2)[None, :]
-        valid = (yy - dy >= 0) & (yy - dy < d1) & (xx - dx >= 0) & (xx - dx < d2)
         cov = (cross_t[i] - t * m_t * ms) / (t - 1)
         products.append(cov / (raw_std * rs))
-        valids.append(valid)
+        valids.append(_valid_mask(d1, d2, dy, dx))
     return _neighbor_reduce(products, valids, mode)
 
 
@@ -250,11 +256,7 @@ def _scaled_cov_update(s1_t, cross_t, s1_r, s2_r, target_chunk, raw_chunk,
     s1_t = s1_t + jnp.sum(xt, axis=0)
     s1_r = s1_r + jnp.sum(xr, axis=0)
     s2_r = s2_r + jnp.sum(xr * xr, axis=0)
-    updates = []
-    for i, (dy, dx) in enumerate(_SHIFTS):
-        xs = jnp.roll(xt, (dy, dx), axis=(1, 2))
-        updates.append(cross_t[i] + jnp.sum(xt * xs, axis=0))
-    return s1_t, jnp.stack(updates), s1_r, s2_r
+    return s1_t, _crosses(xt, cross_t), s1_r, s2_r
 
 
 def _streamed_scaled_cov(
@@ -307,13 +309,6 @@ def make_residual_correlation_image(
     return _streamed_scaled_cov(
         original_movie, pmd_movie, mode, chunk_frames, residual=True
     )
-
-
-def _crosses(y, acc):
-    updates = []
-    for i, (dy, dx) in enumerate(_SHIFTS):
-        updates.append(acc[i] + jnp.sum(y * jnp.roll(y, (dy, dx), axis=(1, 2)), axis=0))
-    return jnp.stack(updates)
 
 
 @partial(jax.jit, static_argnums=(0, 1))

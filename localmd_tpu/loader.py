@@ -208,6 +208,30 @@ def _v_projection_kernel(a_tilde: Array, c: Array, raw: Array, order: str = "F")
     return _mm(a_tilde.T, flat) - c[:, None]
 
 
+# Nominal HBM per chip by device kind, used when the runtime reports no
+# memory_stats (the axon-tunneled TPU returns an empty dict).
+_HBM_BY_KIND = [
+    ("v6e", 32e9),
+    ("v6", 32e9),
+    ("v5p", 95e9),
+    ("v5e", 16e9),
+    ("v5 lite", 16e9),
+    ("v4", 32e9),
+]
+
+
+def nominal_hbm_bytes(device) -> Optional[float]:
+    """Nominal HBM of a TPU device by kind, or None when unknown/not a TPU.
+    Fallback for runtimes whose ``memory_stats()`` is empty."""
+    if getattr(device, "platform", None) != "tpu":
+        return None
+    kind = device.device_kind.lower()
+    for key, hbm in _HBM_BY_KIND:
+        if key in kind:
+            return hbm
+    return None
+
+
 class PMDLoader:
     """Owns dataset access, per-pixel statistics and the background basis."""
 
@@ -322,17 +346,6 @@ class PMDLoader:
 
     # -- HBM movie cache --------------------------------------------------------
 
-    # Nominal HBM per chip by device kind, used when the runtime reports no
-    # memory_stats (the axon-tunneled TPU returns an empty dict).
-    _HBM_BY_KIND = [
-        ("v6e", 32e9),
-        ("v6", 32e9),
-        ("v5p", 95e9),
-        ("v5e", 16e9),
-        ("v5 lite", 16e9),
-        ("v4", 32e9),
-    ]
-
     def _plan_cache_frames(self) -> int:
         """How many leading frames to retain on device during the stats pass.
 
@@ -357,17 +370,15 @@ class PMDLoader:
             if stats and "bytes_limit" in stats:
                 free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
                 budget = int(free * self._cache_fraction)
-            elif dev.platform == "tpu":
+            else:
                 # no live introspection: budget from the nominal HBM with a
                 # 10% runtime haircut, minus the caller's declared working
                 # set — deliberately conservative (an OOM mid-pipeline costs
                 # far more than a smaller cache; the pipeline additionally
                 # drops the cache and retries if one still occurs)
-                kind = dev.device_kind.lower()
-                for key, hbm in self._HBM_BY_KIND:
-                    if key in kind:
-                        budget = int(hbm * 0.9 - self._cache_reserve_bytes)
-                        break
+                hbm = nominal_hbm_bytes(dev)
+                if hbm is not None:
+                    budget = int(hbm * 0.9 - self._cache_reserve_bytes)
         except Exception:
             budget = None
         if budget is None:

@@ -18,6 +18,7 @@ chunk * b1 * b2 * T_init * 4 bytes.
 
 from __future__ import annotations
 
+import hashlib
 import math
 from typing import Callable, Optional, Tuple
 
@@ -68,6 +69,56 @@ def identify_window_chunks(
     for k in starts:
         net_frames.extend(range(int(k), int(min(k + window_chunks, total_frames))))
     return net_frames
+
+
+def _value_token(v, depth: int = 0) -> bytes:
+    """Content bytes of a value captured in a denoiser closure, for the
+    checkpoint resume fingerprint. repr() is NOT safe here: it truncates
+    large arrays (collisions -> silently stale resumes) and embeds
+    per-process addresses for functions/objects (spurious invalidation
+    every run)."""
+    if depth > 3:
+        return b"<deep>"
+    if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+        return repr(v).encode()
+    if isinstance(v, np.ndarray):
+        return b"nd" + str(v.shape).encode() + str(v.dtype).encode() + v.tobytes()
+    if isinstance(v, jax.Array):
+        try:
+            return _value_token(np.asarray(v), depth)
+        except Exception:
+            return b"<jax-array>"
+    if isinstance(v, (tuple, list)):
+        return b"[" + b",".join(_value_token(x, depth + 1) for x in v) + b"]"
+    if isinstance(v, dict):
+        return b"{" + b",".join(
+            _value_token(k, depth + 1) + b":" + _value_token(x, depth + 1)
+            for k, x in sorted(v.items(), key=lambda kv: repr(kv[0]))
+        ) + b"}"
+    code = getattr(v, "__code__", None)
+    if code is not None:  # captured function: hash its content, not id
+        return code.co_code + repr(code.co_consts).encode()
+    # unknown object: type identity only (stable across processes)
+    return repr(type(v)).encode()
+
+
+def _fn_token(fn) -> str | None:
+    """Checkpoint-fingerprint token of a user-supplied denoiser: qualname +
+    a hash of bytecode, constants, and closure contents, so editing the
+    function body or a captured value invalidates resumable stages."""
+    if fn is None:
+        return None
+    name = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        payload = code.co_code + repr(code.co_consts).encode()
+        for cell in getattr(fn, "__closure__", None) or ():
+            try:
+                payload += _value_token(cell.cell_contents)
+            except ValueError:  # empty cell
+                payload += b"<empty>"
+        name += ":" + hashlib.sha256(payload).hexdigest()[:12]
+    return name
 
 
 def localmd_decomposition(
@@ -198,60 +249,11 @@ def localmd_decomposition(
     # Content-sensitive arguments must be part of the resume fingerprint:
     # resuming a checkpoint written with a different pixel weighting or
     # denoiser would silently return results computed with the old settings.
-    import hashlib
-
     if pixel_weighting is not None:
         pw = np.ascontiguousarray(np.asarray(pixel_weighting, dtype=np.float32))
         pixel_weighting_token = hashlib.sha256(pw.tobytes()).hexdigest()[:16]
     else:
         pixel_weighting_token = None
-
-    def _value_token(v, depth=0) -> bytes:
-        """Content bytes of a captured value. repr() is NOT safe here: it
-        truncates large arrays (collisions -> silently stale resumes) and
-        embeds per-process addresses for functions/objects (spurious
-        invalidation every run)."""
-        if depth > 3:
-            return b"<deep>"
-        if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
-            return repr(v).encode()
-        if isinstance(v, np.ndarray):
-            return b"nd" + str(v.shape).encode() + str(v.dtype).encode() + v.tobytes()
-        if isinstance(v, (jnp.ndarray, jax.Array)):
-            try:
-                return _value_token(np.asarray(v), depth)
-            except Exception:
-                return b"<jax-array>"
-        if isinstance(v, (tuple, list)):
-            return b"[" + b",".join(_value_token(x, depth + 1) for x in v) + b"]"
-        if isinstance(v, dict):
-            return b"{" + b",".join(
-                _value_token(k, depth + 1) + b":" + _value_token(x, depth + 1)
-                for k, x in sorted(v.items(), key=lambda kv: repr(kv[0]))
-            ) + b"}"
-        code = getattr(v, "__code__", None)
-        if code is not None:  # captured function: hash its content, not id
-            return code.co_code + repr(code.co_consts).encode()
-        # unknown object: type identity only (stable across processes)
-        return repr(type(v)).encode()
-
-    def _fn_token(fn):
-        if fn is None:
-            return None
-        name = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(fn))}"
-        # Include bytecode + constants + closure contents so editing the
-        # function body — including a constant (x * 0.5 -> x * 0.7) or a
-        # captured value — also invalidates resumable stages.
-        code = getattr(fn, "__code__", None)
-        if code is not None:
-            payload = code.co_code + repr(code.co_consts).encode()
-            for cell in getattr(fn, "__closure__", None) or ():
-                try:
-                    payload += _value_token(cell.cell_contents)
-                except ValueError:  # empty cell
-                    payload += b"<empty>"
-            name += ":" + hashlib.sha256(payload).hexdigest()[:12]
-        return name
 
     ckpt = PipelineCheckpoint(
         checkpoint_path,
@@ -451,19 +453,19 @@ def localmd_decomposition(
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
             budget = max(budget, int(free * 0.4))
-        elif dev.platform == "tpu":
-            kind = dev.device_kind.lower()
-            for key_kind, hbm in PMDLoader._HBM_BY_KIND:
-                if key_kind in kind:
-                    used = d1 * d2 * crop_avg_constant * 4  # init crop
-                    cache = getattr(load_obj, "_cache", None)
-                    if cache is not None:
-                        used += load_obj._cache_frames * d1 * d2 * cache.dtype.itemsize
-                    if load_obj._device_resident:
-                        arr = load_obj.dataset._array
-                        used += arr.size * arr.dtype.itemsize
-                    budget = max(budget, int((hbm * 0.9 - used) * 0.4))
-                    break
+        else:
+            from localmd_tpu.loader import nominal_hbm_bytes
+
+            hbm = nominal_hbm_bytes(dev)
+            if hbm is not None:
+                used = d1 * d2 * crop_avg_constant * 4  # init crop
+                cache = getattr(load_obj, "_cache", None)
+                if cache is not None:
+                    used += load_obj._cache_frames * d1 * d2 * cache.dtype.itemsize
+                if load_obj._device_resident:
+                    arr = load_obj.dataset._array
+                    used += arr.size * arr.dtype.itemsize
+                budget = max(budget, int((hbm * 0.9 - used) * 0.4))
     except Exception:
         pass
     bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
