@@ -1,0 +1,57 @@
+"""Drop-in namespace mirroring ``localmd.pmd_loader``.
+
+Reference symbol surface (reference pmd_loader.py) over the TPU-native
+loader in :mod:`localmd_tpu.loader`. ``FrameDataloader`` is a lightweight
+map-style adapter with the reference's merged-tail chunk semantics
+(reference pmd_loader.py:71-108) — no torch dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from localmd_tpu.loader import PMDLoader, standardize_and_filter, _chunk_ranges
+from localmd_tpu.ops.linalg import truncated_random_svd as _trsvd
+from localmd_tpu.utils import display, make_key
+from localmd_tpu.utils.keys import make_jax_random_key
+from localmd_tpu.dataset import as_dataset
+
+
+def truncated_random_svd(input_matrix, key, rank: int, num_oversamples: int = 10):
+    """Reference pmd_loader variant (pmd_loader.py:46-68): static int rank,
+    singular values FOLDED into V, returns (U, V)."""
+    u, s, vt = _trsvd(input_matrix, key, int(rank), num_oversamples=num_oversamples)
+    return u, s[:, None] * vt
+
+
+class FrameDataloader:
+    """Map-style dataset of frame chunks (reference pmd_loader.py:71-108):
+    ``len`` = number of chunks with the final partial chunk merged into the
+    previous one; items are (d1, d2, t_chunk) host arrays."""
+
+    def __init__(self, dataset, batch_size: int):
+        self.dataset = as_dataset(dataset)
+        self.batch_size = int(batch_size)
+        self._ranges = _chunk_ranges(
+            self.dataset.shape[0], self.batch_size, merge_tail=True
+        )
+
+    def __len__(self) -> int:
+        return len(self._ranges)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        if not 0 <= index < len(self._ranges):
+            raise ValueError(f"chunk index {index} out of range")
+        a, b = self._ranges[index]
+        return np.asarray(self.dataset[slice(a, b)]).transpose(1, 2, 0)
+
+
+__all__ = [
+    "PMDLoader",
+    "FrameDataloader",
+    "standardize_and_filter",
+    "truncated_random_svd",
+    "display",
+    "make_jax_random_key",
+    "make_key",
+]

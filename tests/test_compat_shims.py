@@ -129,6 +129,101 @@ class TestShimStructure:
         np.testing.assert_allclose(out, expected, atol=1e-4)
 
 
+class TestSubmoduleNamespaces:
+    def test_every_reference_import_path_works(self):
+        """`import localmd_tpu as localmd` must satisfy every reference
+        submodule import path: localmd.<module>.<symbol> for the complete
+        public surface of each reference module."""
+        surface = {
+            "dataset": ["lazy_data_loader", "TiffArray"],
+            "preprocessing_utils": [
+                "get_mean_and_noise", "get_mean_chunk", "get_noise_estimate",
+                "get_noise_estimate_vmap", "center_and_get_noise_estimate",
+                "get_mean", "center", "center_vmap",
+                "center_and_noise_normalize", "center_and_noise_normalize_vmap",
+                "standardize_block",
+            ],
+            "evaluation": [
+                "l1_norm", "trend_filter_stat", "total_variation_stat",
+                "spatial_roughness_stat", "temporal_roughness_stat",
+                "spatial_roughness_stat_vmap", "temporal_roughness_stat_vmap",
+                "evaluate_fitness", "evaluate_fitness_vmap",
+                "construct_final_fitness_decision", "filter_by_failures",
+            ],
+            "pmd_loader": [
+                "PMDLoader", "FrameDataloader", "standardize_and_filter",
+                "truncated_random_svd", "display", "make_jax_random_key",
+            ],
+            "decomposition": [
+                "localmd_decomposition", "single_block_md",
+                "single_residual_block_md", "windowed_pmd", "rank_simulation",
+                "decomposition_no_normalize_approx", "get_temporal_projector",
+                "downsample_average_pooling", "threshold_heuristic",
+                "truncated_random_svd", "compute_lowrank_factorized_svd",
+                "projected_svd", "identify_window_chunks", "update_block_sizes",
+                "check_fov_size", "make_jax_random_key", "identity",
+            ],
+            "pmdarray": ["PMDArray"],
+            "diagnostic_plots": [
+                "make_pmd_corr_diagnostic_plot", "make_residual_correlation_image",
+                "make_pmd_correlation_image", "make_correlation_image",
+                "make_autocorrelation_image", "make_pmd_component_graph",
+                "plot_pmd_components", "construct_index",
+            ],
+        }
+        import importlib
+
+        for module, names in surface.items():
+            mod = importlib.import_module(f"localmd_tpu.{module}")
+            for name in names:
+                assert hasattr(mod, name), f"localmd_tpu.{module}.{name}"
+
+    def test_vmap_adapters_reference_axis_conventions(self, rng):
+        """The *_vmap adapters keep the reference's axis conventions:
+        images component-axis-LAST, fitness traces (t, r)."""
+        from localmd_tpu.evaluation import (
+            evaluate_fitness_vmap,
+            spatial_roughness_stat_vmap,
+            temporal_roughness_stat_vmap,
+        )
+
+        imgs = rng.standard_normal((9, 8, 3)).astype(np.float32)
+        traces = rng.standard_normal((50, 3)).astype(np.float32)
+        sp = np.asarray(spatial_roughness_stat_vmap(jnp.asarray(imgs)))
+        tp = np.asarray(temporal_roughness_stat_vmap(jnp.asarray(traces.T)))
+        dec = np.asarray(
+            evaluate_fitness_vmap(jnp.asarray(imgs), jnp.asarray(traces), 1e9, 1e9)
+        )
+        assert sp.shape == tp.shape == dec.shape == (3,)
+        assert (dec == 1).all()
+
+    def test_frame_dataloader_merged_tail(self, rng):
+        from localmd_tpu.pmd_loader import FrameDataloader
+
+        movie = rng.standard_normal((10, 4, 3)).astype(np.float32)
+        dl = FrameDataloader(movie, 4)
+        # reference semantics: final partial chunk merged into the previous
+        assert len(dl) == 2
+        assert dl[0].shape == (4, 3, 4)
+        assert dl[1].shape == (4, 3, 6)
+        with pytest.raises(ValueError):
+            dl[2]
+
+    def test_pmd_loader_trsvd_folds_s_into_v(self, rng):
+        from localmd_tpu.pmd_loader import truncated_random_svd
+
+        mat = rng.standard_normal((50, 30)).astype(np.float32)
+        u, v = truncated_random_svd(jnp.asarray(mat), jax.random.PRNGKey(0), 4)
+        assert u.shape == (50, 4) and v.shape == (4, 30)
+        # U @ V approximates the matrix's best rank-4 approximation
+        u_np, s_np, vt_np = np.linalg.svd(mat, full_matrices=False)
+        best4 = (u_np[:, :4] * s_np[:4]) @ vt_np[:4]
+        approx = np.asarray(u) @ np.asarray(v)
+        assert (
+            np.linalg.norm(approx - mat) <= np.linalg.norm(best4 - mat) * 1.5
+        )
+
+
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
 class TestShimReferenceParity:
     @pytest.fixture(scope="class")
