@@ -549,6 +549,29 @@ class TestSeededReproducibility:
 
 
 class TestParameterRobustness:
+    @pytest.mark.parametrize("combo", [
+        # cross-feature combos a user can plausibly stack (fuzz-derived)
+        dict(order="C", welch_compat="reference", cache_movie=True,
+             spatial_avg_factor=3, dtype_in=np.uint16),
+        dict(rank_prune=True, window_chunks=130, cache_movie=True,
+             background_rank=0, dtype_in=np.float32),
+        dict(order="C", rank_prune=True, welch_compat="reference",
+             temporal_avg_factor=3, dtype_in=np.uint16),
+    ])
+    def test_feature_combinations(self, rng, combo):
+        dtype_in = combo.pop("dtype_in")
+        movie = (rng.random((300, 26, 23)) * 50 + 10).astype(dtype_in)
+        pmd = localmd_decomposition(
+            movie, (12, 11), frame_range=300, max_components=4,
+            temporal_avg_factor=combo.pop("temporal_avg_factor", 4),
+            background_rank=combo.pop("background_rank", 1),
+            sim_iters=12, seed=0, **combo,
+        )
+        recon = pmd[:, :, :]
+        assert recon.shape == movie.shape
+        assert np.isfinite(recon).all()
+        pmd.close()
+
     def test_odd_fov_and_block_sizes(self, rng):
         movie = make_low_rank_movie(3, (290, 37, 29), rng)
         pmd = localmd_decomposition(
