@@ -35,7 +35,7 @@ def make_movie(d1=512, d2=512, t=2048, rank=16, seed=0):
     return jax.block_until_ready(movie)
 
 
-def run_once(movie, quiet=True):
+def run_once(movie, quiet=True, matmul_precision=None):
     import logging
 
     import localmd_tpu
@@ -54,6 +54,7 @@ def run_once(movie, quiet=True):
         seed=0,
         block_batch_size=256,
         rank_prune=True,  # reference demo config (official_demo.ipynb cell 4)
+        matmul_precision=matmul_precision,
     )
     elapsed = time.perf_counter() - t0
     return pmd, elapsed
@@ -177,6 +178,19 @@ def main():
     warm = min(warms)  # best-of-3: tunnel dispatch jitter dominates
     median = sorted(warms)[len(warms) // 2]
 
+    # Optional bf16 leg (BENCH_BF16=1): same pipeline with one-pass bf16 MXU
+    # matmuls — a distinct compiled-program set, so it is opt-in to keep the
+    # default bench run's compile budget bounded. Accuracy posture of the
+    # default (f32) path is unchanged.
+    bf16_mpfs = None
+    if os.environ.get("BENCH_BF16"):
+        _, _ = run_once(movie, matmul_precision="bfloat16")  # compile
+        bf16_warms = []
+        for _ in range(3):
+            _, w = run_once(movie, matmul_precision="bfloat16")
+            bf16_warms.append(w)
+        bf16_mpfs = d1 * d2 * t / min(bf16_warms) / 1e6
+
     pixel_frames = d1 * d2 * t
     mpfs = pixel_frames / warm / 1e6
     baseline_per_chip = 125.0  # 1 Gpf/s north star on 8 chips
@@ -207,6 +221,11 @@ def main():
                     "mfu_vs_bf16_peak": round(tflops / peak_tflops, 5),
                     "chip": chip_kind,
                     "peak_bf16_tflops": peak_tflops,
+                    **(
+                        {"bf16_mpf_s": round(bf16_mpfs, 2)}
+                        if bf16_mpfs is not None
+                        else {}
+                    ),
                     "note": (
                         "matmul-FLOP model (~±20%); the pipeline is "
                         "bandwidth/latency-dominated at this scale, not "

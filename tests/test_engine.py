@@ -256,6 +256,31 @@ class TestThresholdHeuristic:
         b = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
         assert a == b
 
+    def test_memoized_per_key(self, monkeypatch):
+        # Same (config, key) -> kernel runs once; different key -> runs again.
+        from localmd_tpu import engine as eng
+
+        calls = {"n": 0}
+        real = eng._threshold_kernel
+
+        def counting(*args, **kwargs):
+            calls["n"] += 1
+            return real(*args, **kwargs)
+
+        monkeypatch.setattr(eng, "_threshold_kernel", counting)
+        monkeypatch.setattr(eng, "_threshold_cache", {})
+        a = eng.threshold_heuristic((14, 14, 80), iters=32, key=jax.random.PRNGKey(7))
+        b = eng.threshold_heuristic((14, 14, 80), iters=32, key=jax.random.PRNGKey(7))
+        assert calls["n"] == 1 and a == b
+        # as_device hits the same cache entry (device scalars)
+        sd, td = eng.threshold_heuristic(
+            (14, 14, 80), iters=32, key=jax.random.PRNGKey(7), as_device=True
+        )
+        assert calls["n"] == 1
+        assert (float(sd), float(td)) == a
+        c = eng.threshold_heuristic((14, 14, 80), iters=32, key=jax.random.PRNGKey(8))
+        assert calls["n"] == 2 and c != a
+
 
 class TestFusedSteps:
     def test_window0_chunk_step_equals_separate_calls(self, rng):
