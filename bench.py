@@ -172,24 +172,27 @@ def main():
 
     _, cold = run_once(movie)
     warms = []
-    for _ in range(3):
+    for _ in range(5):
         pmd, w = run_once(movie)
         warms.append(w)
-    warm = min(warms)  # best-of-3: tunnel dispatch jitter dominates
+    warm = min(warms)  # best-of-5: tunnel dispatch jitter dominates
     median = sorted(warms)[len(warms) // 2]
 
-    # Optional bf16 leg (BENCH_BF16=1): same pipeline with one-pass bf16 MXU
-    # matmuls — a distinct compiled-program set, so it is opt-in to keep the
-    # default bench run's compile budget bounded. Accuracy posture of the
-    # default (f32) path is unchanged.
+    # NOTE on precision: JAX's default matmul precision on TPU is already
+    # one-pass bf16 MXU (Precision.DEFAULT) — verified on this chip:
+    # default_matmul_precision('bfloat16') produces bit-identical results to
+    # the ambient default, so the warm numbers above ARE the bf16-MXU
+    # numbers. Pass matmul_precision='highest' to the pipeline for 6-pass
+    # f32-accurate matmuls (slower; parity tests cover both).
     bf16_mpfs = None
-    if os.environ.get("BENCH_BF16"):
-        _, _ = run_once(movie, matmul_precision="bfloat16")  # compile
-        bf16_warms = []
+    if os.environ.get("BENCH_HIGHEST"):
+        # opt-in comparison leg: how much the f32-accurate path costs
+        _, _ = run_once(movie, matmul_precision="highest")  # compile
+        hi_warms = []
         for _ in range(3):
-            _, w = run_once(movie, matmul_precision="bfloat16")
-            bf16_warms.append(w)
-        bf16_mpfs = d1 * d2 * t / min(bf16_warms) / 1e6
+            _, w = run_once(movie, matmul_precision="highest")
+            hi_warms.append(w)
+        bf16_mpfs = d1 * d2 * t / min(hi_warms) / 1e6
 
     pixel_frames = d1 * d2 * t
     mpfs = pixel_frames / warm / 1e6
@@ -222,7 +225,7 @@ def main():
                     "chip": chip_kind,
                     "peak_bf16_tflops": peak_tflops,
                     **(
-                        {"bf16_mpf_s": round(bf16_mpfs, 2)}
+                        {"highest_precision_mpf_s": round(bf16_mpfs, 2)}
                         if bf16_mpfs is not None
                         else {}
                     ),

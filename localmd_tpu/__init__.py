@@ -28,6 +28,18 @@ from localmd_tpu.serialization import save_decomposition, load_decomposition
 from localmd_tpu.volumetric import VolumetricPMD, volumetric_decomposition
 from localmd_tpu.dataset import DeviceMovie
 
+# Bind the drop-in reference submodule namespaces as package attributes so
+# `import localmd_tpu as localmd; localmd.decomposition...` (and the other
+# reference import paths) work without a separate importlib step.
+from localmd_tpu import (  # noqa: F401  (drop-in namespaces)
+    decomposition,
+    diagnostic_plots,
+    evaluation,
+    pmd_loader,
+    pmdarray,
+    preprocessing_utils,
+)
+
 __version__ = "0.3.0"
 
 __all__ = [

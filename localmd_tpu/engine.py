@@ -672,10 +672,19 @@ def threshold_heuristic(
     d1, d2, t = dimensions
     n_batches = max(1, -(-iters // sim_batch))
     # Pulling the key to host is an 8-byte transfer; it makes the cache key
-    # exact (same key + same config => identical thresholds).
+    # exact (same key + same config => identical thresholds). The ambient
+    # matmul precision is part of the key: on TPU the simulated rSVD results
+    # genuinely differ between default (one-pass bf16) and "highest"
+    # precision, and a stale cross-precision hit would silently break the
+    # seeded-determinism contract.
+    try:
+        precision_token = str(jax.config.jax_default_matmul_precision)
+    except AttributeError:  # config name drift across jax versions
+        precision_token = ""
     cache_key = (
         d1, d2, t, num_comps, n_batches, sim_batch, iters,
         float(percentile_threshold), np.asarray(key).tobytes(),
+        precision_token, jax.default_backend(),
     )
     cached = _threshold_cache.get(cache_key)
     if cached is not None:

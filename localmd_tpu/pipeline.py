@@ -81,6 +81,8 @@ def _value_token(v, depth: int = 0) -> bytes:
         return b"<deep>"
     if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
         return repr(v).encode()
+    if isinstance(v, np.generic):  # numpy scalar: repr(type) alone would
+        return b"ns" + str(v.dtype).encode() + v.tobytes()  # miss the VALUE
     if isinstance(v, np.ndarray):
         return b"nd" + str(v.shape).encode() + str(v.dtype).encode() + v.tobytes()
     if isinstance(v, jax.Array):
@@ -97,7 +99,11 @@ def _value_token(v, depth: int = 0) -> bytes:
         ) + b"}"
     code = getattr(v, "__code__", None)
     if code is not None:  # captured function: hash its content, not id
-        return code.co_code + repr(code.co_consts).encode()
+        token = code.co_code + repr(code.co_consts).encode()
+        defaults = getattr(v, "__defaults__", None)
+        if defaults:  # changed default-arg values must also invalidate
+            token += _value_token(tuple(defaults), depth + 1)
+        return token
     # unknown object: type identity only (stable across processes)
     return repr(type(v)).encode()
 
@@ -112,6 +118,9 @@ def _fn_token(fn) -> str | None:
     code = getattr(fn, "__code__", None)
     if code is not None:
         payload = code.co_code + repr(code.co_consts).encode()
+        defaults = getattr(fn, "__defaults__", None)
+        if defaults:
+            payload += _value_token(tuple(defaults))
         for cell in getattr(fn, "__closure__", None) or ():
             try:
                 payload += _value_token(cell.cell_contents)
@@ -167,9 +176,10 @@ def localmd_decomposition(
     reference pipeline cannot resume, SURVEY.md §5).
 
     ``matmul_precision`` (e.g. "bfloat16", "tensorfloat32", "highest") sets
-    jax's default matmul precision for the whole pipeline — on TPU, f32
-    matmuls decompose into multiple bf16 MXU passes, so "bfloat16" trades
-    ~1e-3 relative accuracy for up to ~3-6x matmul throughput.
+    jax's default matmul precision for the whole pipeline. NOTE: jax's
+    ambient default on TPU is already one-pass bf16 MXU (Precision.DEFAULT),
+    so "bfloat16" is a no-op there; pass "highest" for 6-pass f32-accurate
+    matmuls at a throughput cost. The reference-parity tests pass under both.
 
     ``cache_movie``: "auto" (default) retains already-streamed frames in
     device HBM during the stats pass (as many leading frames as fit half of

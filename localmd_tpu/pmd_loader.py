@@ -40,8 +40,14 @@ class FrameDataloader:
         return len(self._ranges)
 
     def __getitem__(self, index: int) -> np.ndarray:
-        if not 0 <= index < len(self._ranges):
-            raise ValueError(f"chunk index {index} out of range")
+        # IndexError (not ValueError) so Python's legacy sequence-iteration
+        # protocol terminates `for chunk in loader`; negative indices follow
+        # torch map-style dataset semantics.
+        n = len(self._ranges)
+        if index < 0:
+            index += n
+        if not 0 <= index < n:
+            raise IndexError(f"chunk index {index} out of range")
         a, b = self._ranges[index]
         return np.asarray(self.dataset[slice(a, b)]).transpose(1, 2, 0)
 

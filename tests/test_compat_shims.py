@@ -206,8 +206,23 @@ class TestSubmoduleNamespaces:
         assert len(dl) == 2
         assert dl[0].shape == (4, 3, 4)
         assert dl[1].shape == (4, 3, 6)
-        with pytest.raises(ValueError):
+        # IndexError terminates Python's legacy iteration protocol
+        with pytest.raises(IndexError):
             dl[2]
+        assert [c.shape[2] for c in dl] == [4, 6]
+        assert dl[-1].shape == (4, 3, 6)  # torch map-style negative indexing
+
+    def test_submodules_bound_as_package_attributes(self):
+        # `import localmd_tpu as localmd; localmd.decomposition...` must work
+        # without a separate importlib step (wholesale script migration).
+        import localmd_tpu as localmd
+
+        for name in (
+            "decomposition", "diagnostic_plots", "evaluation",
+            "pmd_loader", "pmdarray", "preprocessing_utils", "dataset",
+        ):
+            assert hasattr(localmd, name), name
+        assert localmd.decomposition.localmd_decomposition is localmd.localmd_decomposition
 
     def test_pmd_loader_trsvd_folds_s_into_v(self, rng):
         from localmd_tpu.pmd_loader import truncated_random_svd

@@ -518,6 +518,34 @@ class TestFingerprintValueTokens:
         np.testing.assert_allclose(resumed[7], fresh[7], atol=1e-5)
         assert not np.allclose(resumed[7], first[7], atol=1e-3)
 
+    def test_fn_token_numpy_scalar_and_defaults(self):
+        """Unit-level fingerprint coverage: a captured numpy SCALAR value
+        change and a default-argument value change must both produce a
+        different token (regression: np.generic and __defaults__ hashed by
+        type identity only -> silently stale resumes)."""
+        from localmd_tpu.pipeline import _fn_token
+
+        def make(c):
+            def den(x):
+                return x * c
+            return den
+
+        t1 = _fn_token(make(np.float32(0.5)))
+        t2 = _fn_token(make(np.float32(0.7)))
+        assert t1 != t2
+        # Python float captures keep working too
+        assert _fn_token(make(0.5)) != _fn_token(make(0.7))
+
+        def den_d1(x, scale=np.float32(0.5)):
+            return x * scale
+
+        def den_d2(x, scale=np.float32(0.7)):
+            return x * scale
+
+        den_d2.__qualname__ = den_d1.__qualname__
+        assert den_d1.__code__.co_code == den_d2.__code__.co_code
+        assert _fn_token(den_d1) != _fn_token(den_d2)
+
 
 class TestSeededReproducibility:
     def test_block_batch_size_does_not_change_results(self, rng):
@@ -559,6 +587,7 @@ class TestParameterRobustness:
              temporal_avg_factor=3, dtype_in=np.uint16),
     ])
     def test_feature_combinations(self, rng, combo):
+        combo = dict(combo)  # parametrize dicts are shared across re-runs
         dtype_in = combo.pop("dtype_in")
         movie = (rng.random((300, 26, 23)) * 50 + 10).astype(dtype_in)
         pmd = localmd_decomposition(
