@@ -35,8 +35,8 @@ from jax import Array
 
 from localmd_tpu.ops.linalg import (
     batched_truncated_random_svd,
+    cholesky_qr2,
     svd_gram_left,
-    svd_gram_right,
 )
 from localmd_tpu.ops.pooling import downsample_average_pooling
 from localmd_tpu.ops.roughness import (
@@ -106,7 +106,19 @@ def single_block_md_batched(
     u_coarse = batched_truncated_random_svd(down_avg, keys, max_rank)[0]
     v_coarse = _mm(jnp.swapaxes(u_coarse, -1, -2), down_flat)  # (n, r, t)
     v_coarse = jax.vmap(temporal_denoiser)(v_coarse)
-    v_basis = svd_gram_left(v_coarse)[2]                       # (n, r, t) orthonormal rows
+    # v_basis only needs to be SOME orthonormal basis of v_coarse's row space:
+    # every step downstream of it (spatial projection -> orthonormalize ->
+    # final canonical SVD) is invariant to a rotation of this basis, so the
+    # 14x-cheaper CholeskyQR2 replaces the Gram-SVD (batched 30x30 eigh is
+    # the single most expensive op in this kernel on TPU). The one exception:
+    # a non-identity spatial_denoiser acts per-component on images defined BY
+    # this basis, so reference SVD semantics are kept in that case.
+    if spatial_denoiser is identity:
+        v_basis = jnp.swapaxes(
+            cholesky_qr2(jnp.swapaxes(v_coarse, -1, -2)), -1, -2
+        )                                                      # (n, r, t) orthonormal rows
+    else:
+        v_basis = svd_gram_left(v_coarse)[2]                   # (n, r, t) orthonormal rows
 
     blocks_flat = flatten_fov(blocks)                          # (n, p, t)
     spatial_proj = _mm(blocks_flat, jnp.swapaxes(v_basis, -1, -2))  # (n, p, r)
@@ -116,7 +128,11 @@ def single_block_md_batched(
     proj_img = jax.vmap(lambda im: spatial_denoiser(jnp.moveaxis(im, -1, 0)))(proj_img)
     spatial_proj = flatten_fov(jnp.moveaxis(proj_img, 1, -1))  # back to (n, p, r)
 
-    u_final = svd_gram_right(spatial_proj)[0]                  # (n, p, r) orthonormal
+    # Same invariance argument: only span(u_final) matters until the final
+    # SVD two lines below rotates it into canonical singular vectors, so an
+    # orthonormalization replaces the second Gram-SVD unconditionally (no
+    # per-component op sits between here and the final SVD).
+    u_final = cholesky_qr2(spatial_proj)                       # (n, p, r) orthonormal
     v_new = _mm(jnp.swapaxes(u_final, -1, -2), blocks_flat)    # (n, r, t)
     v_left, v_sing, v_right = svd_gram_left(v_new)
     u_final = _mm(u_final, v_left)
@@ -651,6 +667,7 @@ def threshold_heuristic(
     key: Optional[Array] = None,
     sim_batch: int = 32,
     as_device: bool = False,
+    cache_token=None,
 ) -> Tuple[float, float]:
     """Spatial/temporal roughness cutoffs from a noise-null Monte-Carlo.
 
@@ -671,19 +688,26 @@ def threshold_heuristic(
         key = make_key()
     d1, d2, t = dimensions
     n_batches = max(1, -(-iters // sim_batch))
-    # Pulling the key to host is an 8-byte transfer; it makes the cache key
-    # exact (same key + same config => identical thresholds). The ambient
-    # matmul precision is part of the key: on TPU the simulated rSVD results
-    # genuinely differ between default (one-pass bf16) and "highest"
-    # precision, and a stale cross-precision hit would silently break the
-    # seeded-determinism contract.
+    # The key's identity in the cache: a host-side ``cache_token`` when the
+    # caller knows one (the pipeline derives its key deterministically from
+    # an integer seed — pulling the 8-byte key value would cost a full
+    # device->host round trip on the critical path), else the key bytes.
+    # The ambient matmul precision is part of the cache key: on TPU the
+    # simulated rSVD results genuinely differ between default (one-pass bf16)
+    # and "highest" precision, and a stale cross-precision hit would silently
+    # break the seeded-determinism contract.
     try:
         precision_token = str(jax.config.jax_default_matmul_precision)
     except AttributeError:  # config name drift across jax versions
         precision_token = ""
+    key_token = (
+        ("token", cache_token)
+        if cache_token is not None
+        else np.asarray(key).tobytes()
+    )
     cache_key = (
         d1, d2, t, num_comps, n_batches, sim_batch, iters,
-        float(percentile_threshold), np.asarray(key).tobytes(),
+        float(percentile_threshold), key_token,
         precision_token, jax.default_backend(),
     )
     cached = _threshold_cache.get(cache_key)

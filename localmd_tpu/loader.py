@@ -569,13 +569,16 @@ class PMDLoader:
                 f"HBM movie cache: retaining {self._cache_frames}/{t_total} "
                 f"frames on device (native dtype)"
             )
-        self.mean_img = np.asarray(mean_acc)
+        # mean/std stay DEVICE-resident: every consumer standardizes on
+        # device, and each eager host pull costs a tunnel round trip on the
+        # pipeline critical path (PMDArray materializes them lazily).
+        self.mean_img = mean_acc
         if normalizer_flag and noise_chunks > 0:
-            std = np.asarray(noise_acc) / noise_chunks
-            std[std == 0] = 1.0
+            std = noise_acc / np.float32(noise_chunks)
+            std = jnp.where(std == 0, jnp.float32(1.0), std)
         else:
-            std = np.ones((d1, d2), dtype=np.float32)
-        self.std_img = std.astype(np.float32)
+            std = jnp.ones((d1, d2), dtype=jnp.float32)
+        self.std_img = std
         display("Finished mean and noise estimation")
 
     # -- background ------------------------------------------------------------
@@ -617,7 +620,9 @@ class PMDLoader:
 
     def temporal_crop_standardized(self, frames) -> np.ndarray:
         crop = self.temporal_crop(frames)
-        crop = (crop - self.mean_img[:, :, None]) / self.std_img[:, :, None]
+        mean = np.asarray(self.mean_img)
+        std = np.asarray(self.std_img)
+        crop = (crop - mean[:, :, None]) / std[:, :, None]
         return crop.astype(self.dtype)
 
     def temporal_crop_with_filter(self, frames) -> Tuple[Array, Array]:

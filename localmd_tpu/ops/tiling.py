@@ -22,6 +22,7 @@ TPU-first rethink of the reference's host-side tiling
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import List, Tuple
 
 import jax
@@ -146,15 +147,17 @@ class BlockGrid:
         # WITHIN the block is always F — that is the engine's internal panel
         # row layout (engine.py flatten_fov), and only the panel-row <->
         # global-id pairing matters downstream.
-        ii = np.arange(b1, dtype=np.int64)[:, None]
-        jj = np.arange(b2, dtype=np.int64)[None, :]
-        rows_all = []
-        for (k, j) in starts:
-            gi = k + ii
-            gj = j + jj
-            pix = gi + gj * self.d1 if self.order == "F" else gi * self.d2 + gj
-            rows_all.append(pix.flatten(order="F"))
-        object.__setattr__(self, "rows", np.stack(rows_all).astype(np.int32))
+        # One broadcasted op over (n_blocks, b1*b2): panel row m holds local
+        # pixel (i, j) = (m % b1, m // b1) (the within-block F-order flatten).
+        # The per-block Python loop this replaces cost >1 s of host time per
+        # pipeline run at 512x512 / 32x32 (961 blocks).
+        m = np.arange(b1 * b2, dtype=np.int64)
+        i_loc = m % b1
+        j_loc = m // b1
+        gi = starts[:, 0:1].astype(np.int64) + i_loc[None, :]
+        gj = starts[:, 1:2].astype(np.int64) + j_loc[None, :]
+        rows = gi + gj * self.d1 if self.order == "F" else gi * self.d2 + gj
+        object.__setattr__(self, "rows", rows.astype(np.int32))
 
         w = pyramid_weights(b1, b2)
         object.__setattr__(self, "weights", w)
@@ -170,6 +173,34 @@ class BlockGrid:
     @property
     def pixels_per_block(self) -> int:
         return self.block_sizes[0] * self.block_sizes[1]
+
+    def device_constants(self):
+        """Device copies of the per-run constant arrays, uploaded once and
+        cached on the instance: (weights_flat (p,), cum_flat (d,), rows (N,p),
+        starts (N,2)). ``weights_flat`` flattens the PANEL row layout (always
+        F within a block); ``cum_flat`` follows the grid's global ``order``.
+        Combined with :func:`block_grid` memoization, repeated runs of the
+        same configuration skip both grid construction and these host->device
+        transfers.
+        """
+        cached = getattr(self, "_device_constants", None)
+        if cached is None:
+            w = jnp.asarray(flatten_image(jnp.asarray(self.weights), "F"))
+            c = jnp.asarray(
+                flatten_image(jnp.asarray(self.cumulative_weights), self.order)
+            )
+            r = jnp.asarray(self.rows)
+            s = jnp.asarray(self.starts)
+            cached = (w, c, r, s)
+            object.__setattr__(self, "_device_constants", cached)
+        return cached
+
+
+@lru_cache(maxsize=32)
+def block_grid(d1: int, d2: int, block_sizes: Tuple[int, int], order: str = "F") -> BlockGrid:
+    """Memoized :class:`BlockGrid` constructor — the grid is pure static
+    metadata, so repeated pipeline runs of one configuration reuse it."""
+    return BlockGrid(d1, d2, block_sizes, order)
 
 
 # ---------------------------------------------------------------------------

@@ -38,14 +38,13 @@ from localmd_tpu.engine import (
 from localmd_tpu.factorization import compute_lowrank_factorized_svd, final_svd_reformat
 from localmd_tpu.loader import PMDLoader
 from localmd_tpu.ops.tiling import (
-    BlockGrid,
+    block_grid,
     check_fov_size,
     extract_patches,
-    flatten_image,
     update_block_sizes,
 )
 from localmd_tpu.pmd_array import PMDArray
-from localmd_tpu.utils import display, make_key
+from localmd_tpu.utils import display, make_key_with_seed
 
 
 def identify_window_chunks(
@@ -254,7 +253,7 @@ def localmd_decomposition(
         raise ValueError(f"order must be 'F' or 'C', got {order!r}")
     if seed is not None:
         np.random.seed(seed)
-    key = make_key(seed)
+    key, effective_seed = make_key_with_seed(seed)
 
     # Content-sensitive arguments must be part of the resume fingerprint:
     # resuming a checkpoint written with a different pixel weighting or
@@ -357,6 +356,9 @@ def localmd_decomposition(
             percentile_threshold=sim_conf,
             key=sub,
             as_device=checkpoint_path is None,
+            # host-side identity of ``sub``: the first split of
+            # PRNGKey(effective_seed) — avoids pulling the key value
+            cache_token=("pipeline-thr", effective_seed),
         )
         ckpt.save(
             "thresholds",
@@ -423,7 +425,7 @@ def localmd_decomposition(
         data = None  # drop the extra reference
 
     # -- batched blockwise decomposition --------------------------------------
-    grid = BlockGrid(d1, d2, (b1, b2), order=order)
+    grid = block_grid(d1, d2, (b1, b2), order=order)
     n_blocks = grid.n_blocks
 
 
@@ -577,13 +579,8 @@ def localmd_decomposition(
     # -- pyramid-weight + normalize + assemble U -------------------------------
     # weights_flat multiplies PANEL rows, whose within-block layout is always
     # F (see BlockGrid.rows); cum_flat is indexed by GLOBAL ids (order-aware).
-    weights_flat = jnp.asarray(
-        flatten_image(jnp.asarray(grid.weights), "F")
-    )                                                     # (p,)
-    cum_flat = jnp.asarray(
-        flatten_image(jnp.asarray(grid.cumulative_weights), order)
-    )                                                     # (d,)
-    rows_dev = jnp.asarray(grid.rows)                     # (N, p)
+    # Uploaded once per grid and cached (grid.device_constants).
+    weights_flat, cum_flat, rows_dev, starts_dev = grid.device_constants()
     panels = panels * weights_flat[None, :, None]
     panels = panels / cum_flat[rows_dev][:, :, None]
 
@@ -592,7 +589,7 @@ def localmd_decomposition(
         rows=rows_dev,
         n_pixels=d1 * d2,
         dense_basis=jnp.asarray(load_obj.spatial_basis),
-        starts=jnp.asarray(grid.starts),
+        starts=starts_dev,
         block_shape=(b1, b2),
     )
 

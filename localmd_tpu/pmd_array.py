@@ -79,13 +79,19 @@ class PMDArray:
             self._r_padded = None
             self._r_compact = np.asarray(r)
 
-        self._s = np.asarray(s)
+        # s / mean / std are kept as their (possibly device) sources and
+        # materialized to host lazily: pulling them eagerly costs one tunnel
+        # round trip each at construction time, on the pipeline critical path.
+        self._s_src = s
+        self._s_host: Optional[np.ndarray] = None
         self._v_src = v
         self._v_host: Optional[np.ndarray] = None
         self._combined_temporal_host: Optional[np.ndarray] = None
         self._combined_temporal_dev = None
-        self.mean_img = np.asarray(mean_img)
-        self.var_img = np.asarray(std_img)
+        self._mean_src = mean_img
+        self._mean_host: Optional[np.ndarray] = None
+        self._var_src = std_img
+        self._var_host: Optional[np.ndarray] = None
         self.row_indices = np.arange(self.fov_dim1 * self.fov_dim2).reshape(
             (self.fov_dim1, self.fov_dim2), order=self.order
         )
@@ -122,7 +128,36 @@ class PMDArray:
 
     @property
     def s(self) -> np.ndarray:
-        return self._s
+        if self._s_host is None:
+            if self._s_src is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
+            self._s_host = np.asarray(self._s_src)
+        return self._s_host
+
+    @property
+    def mean_img(self) -> np.ndarray:
+        if self._mean_host is None:
+            if self._mean_src is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
+            self._mean_host = np.asarray(self._mean_src)
+        return self._mean_host
+
+    @property
+    def var_img(self) -> np.ndarray:
+        if self._var_host is None:
+            if self._var_src is None:
+                raise RuntimeError(
+                    "PMDArray was closed with materialize=False before its "
+                    "host factors were materialized; no data remains"
+                )
+            self._var_host = np.asarray(self._var_src)
+        return self._var_host
 
     @property
     def v(self) -> np.ndarray:
@@ -149,14 +184,15 @@ class PMDArray:
 
     @property
     def rank(self) -> int:
-        return int(self._s.shape[0])
+        src = self._s_host if self._s_src is None else self._s_src
+        return int(src.shape[0])
 
     @property
     def _combined_temporal(self) -> np.ndarray:
         """(K1_compact, T) = (R * s) V, built lazily (reference builds this
         eagerly at pmdarray.py:50-52)."""
         if self._combined_temporal_host is None:
-            self._combined_temporal_host = (self.r * self._s[None, :]).dot(self.v)
+            self._combined_temporal_host = (self.r * self.s[None, :]).dot(self.v)
         return self._combined_temporal_host
 
     # -- device fast path ------------------------------------------------------
@@ -173,7 +209,7 @@ class PMDArray:
             return jnp.asarray(out.reshape((-1, self.fov_dim1, self.fov_dim2)))
         if self._combined_temporal_dev is None:
             self._combined_temporal_dev = jnp.matmul(
-                jnp.asarray(self._r_padded) * jnp.asarray(self._s)[None, :],
+                jnp.asarray(self._r_padded) * jnp.asarray(self._s_src)[None, :],
                 jnp.asarray(self._v_src),
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -185,8 +221,8 @@ class PMDArray:
                 self._reconstruct_standardized(self._combined_temporal_dev[:, sub])
             )
         movie = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
-        movie = movie * jnp.asarray(self.var_img)[..., None] + jnp.asarray(
-            self.mean_img
+        movie = movie * jnp.asarray(self._var_src)[..., None] + jnp.asarray(
+            self._mean_src
         )[..., None]
         return jnp.moveaxis(movie, -1, 0)
 
@@ -312,13 +348,18 @@ class PMDArray:
             # scipy/npz-built arrays: V may still be the (possibly device)
             # source array; take the host copy so slicing keeps working
             _ = self.v
+        if materialize:
+            _ = self.s, self.mean_img, self.var_img
         self._combined_temporal_dev = None
         self._panels_c = None
         self._r_padded = None
-        # drop the device V reference too (keeping it would pin its HBM);
-        # with materialize=True (or an earlier .v access) the host copy
-        # takes over, otherwise .v raises below.
+        # drop the device references too (keeping them would pin their HBM);
+        # with materialize=True (or an earlier host access) the host copies
+        # take over, otherwise the accessors raise.
         self._v_src = self._v_host
+        self._s_src = self._s_host
+        self._mean_src = self._mean_host
+        self._var_src = self._var_host
 
     def __enter__(self) -> "PMDArray":
         return self

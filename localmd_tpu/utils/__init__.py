@@ -1,4 +1,16 @@
 from localmd_tpu.utils.logging import display, get_logger
-from localmd_tpu.utils.keys import make_key, split_keys, make_jax_random_key
+from localmd_tpu.utils.keys import (
+    make_key,
+    make_key_with_seed,
+    split_keys,
+    make_jax_random_key,
+)
 
-__all__ = ["display", "get_logger", "make_key", "split_keys", "make_jax_random_key"]
+__all__ = [
+    "display",
+    "get_logger",
+    "make_key",
+    "make_key_with_seed",
+    "split_keys",
+    "make_jax_random_key",
+]

@@ -16,13 +16,20 @@ import jax
 import numpy as np
 
 
-def make_key(seed: Optional[int] = None) -> jax.Array:
-    """Return a jax PRNG key. If ``seed`` is None, draw one from numpy's RNG
-    (matching the reference's behavior of seeding from ``np.random``)."""
+def make_key_with_seed(seed: Optional[int] = None):
+    """(key, effective_seed): like :func:`make_key` but also returns the
+    host-side integer the key was built from, so callers can form cache
+    tokens without a device->host pull of the key value."""
     if seed is None:
         ii32 = np.iinfo(np.int32)
         seed = int(np.random.randint(low=ii32.min, high=ii32.max, dtype=np.int32))
-    return jax.random.PRNGKey(seed)
+    return jax.random.PRNGKey(seed), seed
+
+
+def make_key(seed: Optional[int] = None) -> jax.Array:
+    """Return a jax PRNG key. If ``seed`` is None, draw one from numpy's RNG
+    (matching the reference's behavior of seeding from ``np.random``)."""
+    return make_key_with_seed(seed)[0]
 
 
 def split_keys(key: jax.Array, n: int) -> jax.Array:
