@@ -55,6 +55,33 @@ class TestSingleBlockMD:
         optimal = np.sqrt((s_all[:, 6:] ** 2).sum()) / np.linalg.norm(flat)
         assert rel < 1.2 * optimal + 1e-3, (rel, optimal)
 
+    def test_qr_fast_path_matches_svd_path(self, rng):
+        # With identity denoisers the middle orthonormalizations take the
+        # CholeskyQR2 fast path; a non-identity (but functionally identity)
+        # spatial denoiser forces the reference Gram-SVD path. The final
+        # canonical SVD makes both mathematically identical: compare the
+        # reconstruction product and the per-component magnitudes.
+        blocks = low_rank_blocks(rng, n=3, rank=3)
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        u_fast, dec_fast, v_fast = single_block_md_batched(
+            jnp.asarray(blocks), keys, 5, 4, 2, 1e9, 1e9
+        )
+        u_svd, dec_svd, v_svd = single_block_md_batched(
+            jnp.asarray(blocks), keys, 5, 4, 2, 1e9, 1e9,
+            spatial_denoiser=lambda x: x * 1.0,
+        )
+        prod_fast = np.einsum("npr,nrt->npt", np.asarray(u_fast), np.asarray(v_fast))
+        prod_svd = np.einsum("npr,nrt->npt", np.asarray(u_svd), np.asarray(v_svd))
+        scale = np.abs(prod_svd).max()
+        np.testing.assert_allclose(prod_fast, prod_svd, atol=2e-4 * scale)
+        # singular values (folded into v rows) must agree
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(v_fast), axis=-1),
+            np.linalg.norm(np.asarray(v_svd), axis=-1),
+            rtol=1e-3, atol=1e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(dec_fast), np.asarray(dec_svd))
+
     def test_decisions_keep_smooth_components(self, rng):
         blocks = low_rank_blocks(rng, n=2, rank=2, noise=0.01)
         keys = jax.random.split(jax.random.PRNGKey(1), 2)
