@@ -85,18 +85,23 @@ m = grid.n_blocks * 20 + u.dense_basis.shape[1]
 v_cropped = jnp.concatenate([v_blocks.reshape(grid.n_blocks * 20, -1), tb[:, :1020]], axis=0)
 cols = max(1, int(min(total_rank + 15, 1024) * 0.33))
 rnd = jax.random.normal(jax.random.PRNGKey(3), (v_cropped.shape[1], cols))
-t0 = time.perf_counter()
-pv = jnp.matmul(v_cropped, rnd)
-p = compute_lowrank_factorized_svd(u, pv, only_left=True, expected_rank=total_rank + 15)
-drain(p)
-print(f"factorized svd        {(time.perf_counter()-t0)*1e3:8.1f} ms")
 
-t0 = time.perf_counter()
-v = load_obj.v_projection(u, p)
-drain(v)
-print(f"v regression (2048f)  {(time.perf_counter()-t0)*1e3:8.1f} ms")
 
-t0 = time.perf_counter()
-r, s_vals, vt = final_svd_reformat(p, v, rel_tol=0.0)
-drain(vt)
-print(f"final reformat        {(time.perf_counter()-t0)*1e3:8.1f} ms")
+def timed(label, fn, reps=5):
+    out = fn()
+    drain(out)  # warm (compile/load paid here)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    drain(out)
+    total = (time.perf_counter() - t0) * 1e3
+    print(f"{label:22s} {(total - 29) / reps:8.1f} ms/call marginal (total {total:7.1f})")
+    return out
+
+
+p = timed("factorized svd", lambda: compute_lowrank_factorized_svd(
+    u, jnp.matmul(v_cropped, rnd), only_left=True, expected_rank=total_rank + 15))
+v = timed("v regression (2048f)", lambda: load_obj.v_projection(u, p))
+timed("final reformat", lambda: final_svd_reformat(p, v, rel_tol=0.0))
+timed("gram_quadratic only", lambda: u.gram_quadratic(jnp.matmul(v_cropped, rnd)))
+timed("u.matmul (d x cols)", lambda: u.matmul(jnp.zeros((m, cols), jnp.float32)))
