@@ -212,6 +212,52 @@ def eigh_descending(sym: Array) -> Tuple[Array, Array]:
     return vals, vecs
 
 
+@partial(jax.jit, static_argnums=(1,))
+def subspace_eigh(sym: Array, k_sketch: int) -> Tuple[Array, Array]:
+    """Top-``k_sketch`` eigenpairs of a PSD (m, m) matrix with known rank
+    bound ``rank(sym) <= k_sketch``, via randomized range capture.
+
+    XLA's full ``eigh`` on TPU is an iterative while-loop whose wall time
+    grows superlinearly with m (measured on v5e: 59 ms at m=1024, 694 ms at
+    m=4000). The factorized-SVD reformat knows an a-priori rank bound for its
+    Gram quadratic (the blockwise component budget), so one sketch pass
+    captures the whole range exactly up to f32 rounding: ``Y = sym @ Om``,
+    ``Q = choleskyQR2(Y)``, then the (k, k) compression ``Q^T sym Q`` is
+    decomposed and lifted back as ``V = Q W`` (34 ms for 4000 -> 480 on v5e,
+    a 20x win). The m - k_sketch discarded directions lie in the numerical
+    null space; callers already zero/drop eigenvalues at the f32 noise floor.
+
+    The sketch is seeded deterministically from the shape alone, so results
+    are reproducible run-to-run and independent of pipeline RNG state.
+
+    Returns (vals (k_sketch,) descending, vecs (m, k_sketch)).
+    """
+    m = sym.shape[-1]
+    key = jax.random.PRNGKey(m * 1000003 + k_sketch)
+    om = jax.random.normal(key, (m, k_sketch), dtype=sym.dtype)
+    # All three sketch products run at HIGHEST (6-pass f32 on the MXU):
+    # one-pass bf16 leaves ~1e-2-relative noise whose random column space
+    # pulls Q off the true range, drowning every eigendirection below
+    # ~1e-3 * lambda_max (measured: the pipeline's kept rank collapsed
+    # 233 -> 31). 6-pass f32 resolves the tail to the same floor as full
+    # eigh, and the extra passes cost ~10 ms at (4000, 480).
+    hi = jax.lax.Precision.HIGHEST
+    # Householder QR, not choleskyQR2: the sketch Y is rank-deficient by
+    # construction (rank(sym) < k_sketch), and the Cholesky ridge biases the
+    # weak directions' norms at ~1e-3 — Householder stays orthonormal to f32
+    # regardless of rank and is fast at sketch width (within the measured
+    # 34 ms total at (4000, 480) on v5e).
+    q, _ = jnp.linalg.qr(jnp.matmul(sym, om, precision=hi,
+                                    preferred_element_type=jnp.float32))
+    aq = jnp.matmul(sym, q, precision=hi, preferred_element_type=jnp.float32)
+    small = jnp.matmul(jnp.swapaxes(q, -1, -2), aq, precision=hi,
+                       preferred_element_type=jnp.float32)
+    small = 0.5 * (small + jnp.swapaxes(small, -1, -2))
+    vals, vecs = eigh_descending(small)
+    return vals, jnp.matmul(q, vecs, precision=hi,
+                            preferred_element_type=jnp.float32)
+
+
 def svd_gram_left(data: Array) -> Tuple[Array, Array, Array]:
     """SVD of ``data`` (..., m, n) via the left Gram matrix ``data @ data.T``.
 

@@ -8,6 +8,7 @@ from localmd_tpu.ops.linalg import (
     batched_truncated_random_svd,
     jacobi_eigh,
     projected_svd,
+    subspace_eigh,
     svd_gram_left,
     svd_gram_right,
     truncated_random_svd,
@@ -107,6 +108,31 @@ class TestLinalg:
         direct = jacobi_eigh(jnp.asarray(a))
         vmapped = jax.vmap(lambda x: jacobi_eigh(x))(jnp.asarray(a))
         np.testing.assert_allclose(np.asarray(direct[0]), np.asarray(vmapped[0]), atol=1e-5)
+
+    @pytest.mark.parametrize("rank,k_sketch", [(40, 72), (100, 132)])
+    def test_subspace_eigh_matches_full_eigh(self, rng, rank, k_sketch):
+        # PSD with known rank bound: subspace_eigh's range capture is exact
+        # up to f32, so top-`rank` eigenpairs match LAPACK's.
+        m = 700
+        b = rng.standard_normal((m, rank)).astype(np.float32)
+        b *= np.exp(-np.arange(rank) * 0.1)[None, :].astype(np.float32)
+        a = (b @ b.T).astype(np.float32)
+        a = (a + a.T) / 2
+        vals, vecs = subspace_eigh(jnp.asarray(a), k_sketch)
+        vals, vecs = np.asarray(vals), np.asarray(vecs)
+        assert vals.shape == (k_sketch,) and vecs.shape == (m, k_sketch)
+        ref = np.linalg.eigvalsh(a.astype(np.float64))[::-1]
+        scale = ref[0]
+        np.testing.assert_allclose(vals[:rank], ref[:rank], rtol=1e-3, atol=1e-4 * scale)
+        # tail eigenvalues are numerical-null noise
+        assert np.abs(vals[rank:]).max() < 1e-4 * scale
+        # eigenvectors orthonormal (Householder QR keeps even the numerical-
+        # null sketch columns orthonormal) and the top block reconstructs a
+        gram = vecs.T @ vecs
+        np.testing.assert_allclose(gram, np.eye(k_sketch), atol=2e-4)
+        lead = vecs[:, :rank]
+        recon = (lead * vals[None, :rank]) @ lead.T
+        np.testing.assert_allclose(recon, a, atol=2e-4 * scale)
 
     def test_truncated_random_svd_low_rank_recovery(self, rng):
         # Exactly rank-5 matrix: rSVD with rank 5 must reconstruct it.

@@ -190,6 +190,39 @@ class TestFactorizedSVD:
         up = u.toarray() @ np.asarray(p)
         np.testing.assert_allclose(up.T @ up, np.eye(up.shape[1]), atol=1e-3)
 
+    def test_expected_rank_subspace_path_matches_full_eigh(self, rng):
+        # Long-T regime: r_cols > t makes the Gram quadratic (t, t); with an
+        # expected_rank well under t, the randomized subspace route replaces
+        # the full eigh (4*k_sketch <= 3*m and m >= 512). The resulting UP
+        # must span the same space: orthonormal columns and identical
+        # reconstruction of U V.
+        d, r, t, true_rank = 900, 70, 640, 24
+        base = rng.standard_normal((d, true_rank)).astype(np.float32)
+        mix = rng.standard_normal((true_rank, r)).astype(np.float32)
+        u = scipy.sparse.csr_matrix((base @ mix) * (rng.random((d, r)) < 0.4))
+        v = rng.standard_normal((r, t)).astype(np.float32)
+        k = 128  # generous rank bound; k_sketch=160, m=640 -> subspace path
+        assert 4 * (k + 32) <= 3 * t and t >= 512
+        p_sub = compute_lowrank_factorized_svd(
+            u, jnp.asarray(v), only_left=True, expected_rank=k
+        )
+        # force the full-eigh route by disabling the size gate via small m:
+        # compare against the host-path (no expected_rank) result instead.
+        p_full = compute_lowrank_factorized_svd(u, jnp.asarray(v), only_left=True)
+        up_s = u.toarray() @ np.asarray(p_sub)
+        up_f = u.toarray() @ np.asarray(p_full)
+        # non-null columns of UP are orthonormal (zeroed directions excluded)
+        live = np.linalg.norm(up_s, axis=0) > 0.5
+        q = up_s[:, live]
+        np.testing.assert_allclose(q.T @ q, np.eye(q.shape[1]), atol=2e-3)
+        # both span the same subspace: projecting one basis onto the other
+        # preserves norms
+        proj = q @ (q.T @ up_f)
+        np.testing.assert_allclose(proj, up_f, atol=2e-3)
+        assert live.sum() == np.linalg.matrix_rank(
+            u.toarray().astype(np.float64), tol=1e-4
+        )
+
 
 class TestCheckpointResume:
     def test_resume_skips_stages_and_matches(self, rng, tmp_path):
