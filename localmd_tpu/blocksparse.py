@@ -59,6 +59,65 @@ def _matmul_accum(out: Array, panels: Array, rows: Array, x_block: Array) -> Arr
     return out.at[rows.reshape(-1)].add(contrib.reshape(-1, contrib.shape[-1]))
 
 
+def _coset_tile(contrib: Array, meta, b1: int, b2: int) -> Array:
+    """One coset's (nc1*nc2, b1*b2, m) F-order panel contributions as a
+    contiguous (h, w, m) image tile (blocks within a coset are pairwise
+    disjoint on a uniform sub-grid; see BlockGrid.cosets)."""
+    nc1, nc2, st1, st2, _, _ = meta
+    m = contrib.shape[-1]
+    # F-order panel row r = i + j*b1 -> (j, i) image axes
+    c = contrib.reshape(nc1, nc2, b2, b1, m)
+    c = jnp.transpose(c, (0, 3, 1, 2, 4))          # (nc1, b1, nc2, b2, m)
+    if st1 > b1 or st2 > b2:
+        # odd block sizes: sub-grid stride exceeds the block, pad the gaps
+        # (even blocks have st == b and skip the copy)
+        c = jnp.pad(c, ((0, 0), (0, st1 - b1), (0, 0), (0, st2 - b2), (0, 0)))
+    c = c.reshape(nc1 * st1, nc2 * st2, m)
+    h = (nc1 - 1) * st1 + b1
+    w = (nc2 - 1) * st2 + b2
+    return c[:h, :w]
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0,))
+def _coset_accum(
+    canvas: Array, panels: Array, x_block: Array, idx: Array, meta,
+    b1: int, b2: int,
+) -> Array:
+    """canvas (d1, d2, m) += one coset's placed panel contributions.
+
+    XLA's scatter-add serializes per-row updates (139 ms at 1024^2 FOV /
+    m=337 on v5e, vs 25 ms for the matmul itself) and per-pixel gathers pay
+    an 8-sublane tile read amplification; the coset form touches only
+    sequential full-bandwidth tiles (transpose/reshape/pad/add). One jit
+    call PER COSET with a donated canvas keeps peak transient memory to a
+    single coset's chain instead of letting the scheduler hold all cosets'
+    intermediates live at once — the fused all-cosets variant OOMed a v5e
+    at 1024^2 alongside a device-resident movie. Measured at 1024^2/m=340
+    (one process, in sequence): scatter 251-313 ms, this pad+add form
+    220-226 ms, a static-slice ``.at[h0:h1, w0:w1].add`` form 339 ms —
+    pad-then-full-canvas-add is the fastest XLA lowering of the three."""
+    d1, d2 = canvas.shape[0], canvas.shape[1]
+    a1, a2 = meta[4], meta[5]
+    tile = _coset_tile(
+        _mm(jnp.take(panels, idx, axis=0), jnp.take(x_block, idx, axis=0)),
+        meta, b1, b2,
+    )
+    h, w = tile.shape[0], tile.shape[1]
+    return canvas + jnp.pad(tile, ((a1, d1 - a1 - h), (a2, d2 - a2 - w), (0, 0)))
+
+
+@partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+def _flatten_write_cols(out: Array, canvas: Array, s: Array, order: str) -> Array:
+    """out[:, s:s+mc] = flatten_fov(canvas) with a donated output buffer
+    (no concat spike: the column-chunked matmul would otherwise hold both
+    the chunk list and its concatenation alive)."""
+    from localmd_tpu.ops.tiling import flatten_fov
+
+    return jax.lax.dynamic_update_slice(
+        out, flatten_fov(canvas, order), (jnp.int32(0), s)
+    )
+
+
 @jax.jit
 def _rmatmul_group(panels: Array, rows: Array, y: Array) -> Array:
     """(n_pixels, m) -> (g, S, m) via gather + batched panel^T matmul."""
@@ -84,6 +143,10 @@ class BlockSparseMatrix:
     # reconstruction path: block offsets and (b1, b2) block shape.
     starts: Optional[Array] = None
     block_shape: Optional[Tuple[int, int]] = None
+    # Optional coset placement info (BlockGrid.coset_info()): routes
+    # ``matmul``'s overlap-add through disjoint-coset pad/transpose/reshape
+    # instead of an XLA scatter-add (2.5x+ at 1024^2 FOV).
+    coset_info: Optional[tuple] = None
 
     @property
     def n_blocks(self) -> int:
@@ -111,6 +174,39 @@ class BlockSparseMatrix:
         nb = self.n_block_cols
         m = x.shape[-1]
         x_block = x[:nb].reshape(self.n_blocks, self.slots, m)
+        if self.coset_info is not None and self.block_shape is not None:
+            idxs, metas, d1, d2, order = self.coset_info
+            b1, b2 = self.block_shape
+            # chunk COLUMNS so one chunk's canvas + single-coset transients
+            # (~4 FOV-column-chunk-sized buffers) stay within budget
+            mc = max(
+                32, int(_INTERMEDIATE_BUDGET_BYTES // (self.n_pixels * 4 * 4))
+            )
+
+            def accumulate_canvas(x_cols: Array) -> Array:
+                canvas = jnp.zeros((d1, d2, x_cols.shape[-1]), jnp.float32)
+                for idx, meta in zip(idxs, metas):
+                    canvas = _coset_accum(
+                        canvas, self.panels, x_cols, idx, meta, b1, b2
+                    )
+                return canvas
+
+            if m <= mc:
+                from localmd_tpu.ops.tiling import flatten_fov
+
+                out = flatten_fov(accumulate_canvas(x_block), order)
+            else:
+                out = jnp.zeros((self.n_pixels, m), dtype=jnp.float32)
+                for s in range(0, m, mc):
+                    out = _flatten_write_cols(
+                        out,
+                        accumulate_canvas(x_block[:, :, s : s + mc]),
+                        jnp.int32(s),
+                        order,
+                    )
+            if self.dense_basis.shape[1]:
+                out = out + _mm(self.dense_basis, x[nb:])
+            return out
         g = _block_group_size(self.panels.shape[1], m)
         out = jnp.zeros((self.n_pixels, m), dtype=jnp.float32)
         if g >= self.n_blocks:

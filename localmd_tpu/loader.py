@@ -704,6 +704,7 @@ class PMDLoader:
 
             d1, d2 = self.shape[1], self.shape[2]
             a_c = unflatten_fov(a_tilde, d1, d2, self._order).reshape(d1 * d2, -1)
+            del a_tilde  # the re-ordered copy is the only buffer needed now
             results = []
             for raw in self._iter_raw_chunks(device_put=True):
                 raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)

@@ -195,6 +195,78 @@ class BlockGrid:
             object.__setattr__(self, "_device_constants", cached)
         return cached
 
+    def cosets(self):
+        """Partition the block grid into disjoint 'cosets' for a gather- and
+        scatter-free overlap-add (see ``blocksparse._coset_matmul``).
+
+        Along one dim, starts advance by ``stride = floor(b/2)``; taking every
+        ``k_c = ceil(b/stride)``-th start (k_c=2 for even b, 3 for odd) gives a
+        UNIFORM sub-grid whose blocks are pairwise disjoint, and the snapped
+        tail start (spacing irregular) forms its own singleton group. The 2-D
+        cosets are the cross products (<= (k_c+1)^2 of them); within a coset,
+        placing block windows into the FOV is a pure pad + transpose + reshape
+        — XLA's scatter-add serializes row updates (139 ms at 1024^2 / m=337
+        on v5e) while per-pixel gathers pay an 8-sublane read amplification;
+        the coset form moves only sequential full-bandwidth tiles.
+
+        Returns a cached tuple of ``(block_ids (nc1*nc2,) np.int32,
+        (nc1, nc2, st1, st2, a1, a2))`` — counts, within-coset strides and
+        origin offsets per FOV dim.
+        """
+        cached = getattr(self, "_cosets", None)
+        if cached is not None:
+            return cached
+        b1, b2 = self.block_sizes
+
+        def dim_groups(extent, b):
+            o = int(np.ceil(b / 2))
+            s = _dim_starts(extent, b, o)
+            stride = b - o
+            # regular prefix = arithmetic progression; the snapped tail (if
+            # appended) breaks the spacing and becomes a singleton group
+            n_reg = len(s)
+            if len(s) >= 2 and s[-1] - s[-2] != stride:
+                n_reg -= 1
+            k_c = 1 if stride <= 0 else -(-b // stride)
+            groups = []
+            for r in range(min(k_c, n_reg)):
+                idx = list(range(r, n_reg, k_c))
+                st = max(stride * k_c, b)
+                groups.append((idx, s[idx[0]], st, len(idx)))
+            if n_reg != len(s):
+                groups.append(([len(s) - 1], s[-1], b, 1))
+            return groups, len(s)
+
+        g1, _ = dim_groups(self.d1, b1)
+        g2, n2 = dim_groups(self.d2, b2)
+        out = []
+        for idx1, a1, st1, nc1 in g1:
+            for idx2, a2, st2, nc2 in g2:
+                ids = np.array(
+                    [i1 * n2 + i2 for i1 in idx1 for i2 in idx2], np.int32
+                )
+                out.append((ids, (nc1, nc2, st1, st2, a1, a2)))
+        cached = tuple(out)
+        object.__setattr__(self, "_cosets", cached)
+        return cached
+
+    def coset_info(self):
+        """Device-uploaded coset metadata for ``BlockSparseMatrix.matmul``:
+        ``(block-id arrays (device), static metas, d1, d2, order)``. Uploaded
+        once per grid and cached (like :meth:`device_constants`)."""
+        cached = getattr(self, "_coset_info", None)
+        if cached is None:
+            cs = self.cosets()
+            cached = (
+                tuple(jnp.asarray(ids) for ids, _ in cs),
+                tuple(meta for _, meta in cs),
+                self.d1,
+                self.d2,
+                self.order,
+            )
+            object.__setattr__(self, "_coset_info", cached)
+        return cached
+
 
 @lru_cache(maxsize=32)
 def block_grid(d1: int, d2: int, block_sizes: Tuple[int, int], order: str = "F") -> BlockGrid:

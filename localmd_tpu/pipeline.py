@@ -591,6 +591,7 @@ def localmd_decomposition(
         dense_basis=jnp.asarray(load_obj.spatial_basis),
         starts=starts_dev,
         block_shape=(b1, b2),
+        coset_info=grid.coset_info(),
     )
 
     # V rows must mirror U's column layout: padded block slots then background.

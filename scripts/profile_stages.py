@@ -132,6 +132,8 @@ def profile(workload):
             panels=panels, rows=rows_dev, n_pixels=d1 * d2,
             dense_basis=jnp.asarray(load_obj.spatial_basis),
             starts=starts_dev, block_shape=(b1, b2),
+            coset_info=(None if os.environ.get("PROF_NO_COSET")
+                        else grid.coset_info()),
         )
         v_cropped = jnp.concatenate(
             [v_blocks.reshape(n_blocks * max_components, -1), tb_crop[:, :crop]],

@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.sparse
 
 from localmd_tpu.blocksparse import BlockSparseMatrix
@@ -32,6 +33,52 @@ class TestBlockSparse:
         x = rng.standard_normal((dense.shape[1], 6)).astype(np.float32)
         out = np.asarray(u.matmul(jnp.asarray(x)))
         np.testing.assert_allclose(out, dense @ x, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize(
+        "d1,d2,block,order",
+        [
+            (24, 20, (12, 10), "F"),   # exact tiling, even block
+            (25, 23, (12, 10), "F"),   # snapped tail blocks both dims
+            (25, 23, (12, 10), "C"),   # C-order global ids
+            (29, 31, (11, 13), "F"),   # odd blocks: stride floor(b/2), k_c=3
+            (12, 10, (12, 10), "F"),   # single block per dim
+        ],
+    )
+    def test_matmul_coset_path_matches_scatter(self, rng, d1, d2, block, order):
+        # the coset pad/transpose/reshape overlap-add must agree with the
+        # scatter-add path (and the dense oracle) on every grid family:
+        # exact tilings, snapped tails, odd blocks, degenerate single-block
+        grid = BlockGrid(d1, d2, block, order=order)
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, 4)).astype(np.float32)
+        bg = rng.standard_normal((d1 * d2, 3)).astype(np.float32)
+        kw = dict(
+            panels=jnp.asarray(panels), rows=jnp.asarray(grid.rows),
+            n_pixels=d1 * d2, dense_basis=jnp.asarray(bg),
+            block_shape=block,
+        )
+        u_scat = BlockSparseMatrix(**kw)
+        u_cos = BlockSparseMatrix(**kw, coset_info=grid.coset_info())
+        # cosets partition the blocks
+        ids = np.concatenate([np.asarray(i) for i, _ in grid.cosets()])
+        assert sorted(ids.tolist()) == list(range(n))
+        x = rng.standard_normal((u_scat.shape[1], 6)).astype(np.float32)
+        out_cos = np.asarray(u_cos.matmul(jnp.asarray(x)))
+        out_scat = np.asarray(u_scat.matmul(jnp.asarray(x)))
+        np.testing.assert_allclose(out_cos, out_scat, rtol=1e-5, atol=1e-5)
+        # column-chunked branch (mc floor is 32, so force m > 32)
+        x_wide = rng.standard_normal((u_scat.shape[1], 70)).astype(np.float32)
+        import localmd_tpu.blocksparse as bs
+        orig = bs._INTERMEDIATE_BUDGET_BYTES
+        bs._INTERMEDIATE_BUDGET_BYTES = 1  # mc -> floor of 32 => chunking
+        try:
+            out_chunked = np.asarray(u_cos.matmul(jnp.asarray(x_wide)))
+        finally:
+            bs._INTERMEDIATE_BUDGET_BYTES = orig
+        np.testing.assert_allclose(
+            out_chunked, np.asarray(u_scat.matmul(jnp.asarray(x_wide))),
+            rtol=1e-5, atol=1e-5,
+        )
 
     def test_rmatmul_matches_dense(self, rng):
         u, dense, _ = make_case(rng)
