@@ -175,7 +175,7 @@ class BlockSparseMatrix:
         m = x.shape[-1]
         x_block = x[:nb].reshape(self.n_blocks, self.slots, m)
         if self.coset_info is not None and self.block_shape is not None:
-            idxs, metas, d1, d2, order = self.coset_info
+            idxs, metas, d1, d2, order, _ = self.coset_info
             b1, b2 = self.block_shape
             # chunk COLUMNS so one chunk's canvas + single-coset transients
             # (~4 FOV-column-chunk-sized buffers) stay within budget
@@ -239,7 +239,13 @@ class BlockSparseMatrix:
 
     def rmatmul(self, y: Array) -> Array:
         """U.T @ y for y of shape (n_pixels, m) -> (R, m), block-chunked to
-        bound the (g, p, m) gather intermediate."""
+        bound the (g, p, m) gather intermediate.
+
+        Stays on the gather path by measurement: a coset slice/transpose
+        extraction (inverse of ``matmul``'s placement) ran 144-164 ms vs
+        99-120 ms for the gather at 1024^2/m=340 on v5e — reads don't pay
+        the serialization penalty scatter-add writes do
+        (scripts/ablate_coset.py r_gather/r_coset)."""
         y = jnp.asarray(y)
         m = y.shape[-1]
         g = _block_group_size(self.panels.shape[1], m)

@@ -251,18 +251,25 @@ class BlockGrid:
         return cached
 
     def coset_info(self):
-        """Device-uploaded coset metadata for ``BlockSparseMatrix.matmul``:
-        ``(block-id arrays (device), static metas, d1, d2, order)``. Uploaded
-        once per grid and cached (like :meth:`device_constants`)."""
+        """Device-uploaded coset metadata for ``BlockSparseMatrix.matmul`` /
+        ``rmatmul``: ``(block-id arrays (device), static metas, d1, d2,
+        order, inv)`` where ``inv`` maps block id -> row in the
+        coset-order concatenation (``concat(ids)[inv] == arange``, used to
+        un-permute rmatmul panel results). Uploaded once per grid and
+        cached (like :meth:`device_constants`)."""
         cached = getattr(self, "_coset_info", None)
         if cached is None:
             cs = self.cosets()
+            concat_ids = np.concatenate([ids for ids, _ in cs])
+            inv = np.empty_like(concat_ids)
+            inv[concat_ids] = np.arange(len(concat_ids), dtype=concat_ids.dtype)
             cached = (
                 tuple(jnp.asarray(ids) for ids, _ in cs),
                 tuple(meta for _, meta in cs),
                 self.d1,
                 self.d2,
                 self.order,
+                jnp.asarray(inv),
             )
             object.__setattr__(self, "_coset_info", cached)
         return cached

@@ -52,7 +52,7 @@ def main():
     from localmd_tpu.blocksparse import _coset_tile, _mm
     from localmd_tpu.ops.tiling import flatten_fov
 
-    idxs, metas, D1, D2, order = grid.coset_info()
+    idxs, metas, D1, D2, order, _inv = grid.coset_info()
 
     @jax.jit
     def pure_matmul(panels_, x_):
@@ -104,12 +104,53 @@ def main():
             outs.append(flatten_fov(canvas, order))
         return jnp.concatenate(outs, axis=1)
 
+    y = jax.random.normal(jax.random.PRNGKey(7), (d1 * d2, m), dtype=jnp.float32)
+
+    # coset-extract rmatmul (NOT in production — measured SLOWER than the
+    # gather: 144-164 ms vs 99-120 ms at this scale; reads don't pay the
+    # serialization penalty scatter-add writes do). Kept here so the
+    # negative result stays reproducible.
+    from localmd_tpu.ops.tiling import unflatten_fov
+
+    @_partial(jax.jit, static_argnums=(3, 4, 5))
+    def _coset_rmatmul(panels_, y3d, idx, meta, b1_, b2_):
+        nc1, nc2, st1, st2, a1_, a2_ = meta
+        mm_ = y3d.shape[-1]
+        h = (nc1 - 1) * st1 + b1_
+        w = (nc2 - 1) * st2 + b2_
+        c = jax.lax.slice(y3d, (a1_, a2_, 0), (a1_ + h, a2_ + w, mm_))
+        if st1 > b1_ or st2 > b2_:
+            c = jnp.pad(c, ((0, nc1 * st1 - h), (0, nc2 * st2 - w), (0, 0)))
+        c = c.reshape(nc1, st1, nc2, st2, mm_)
+        if st1 > b1_ or st2 > b2_:
+            c = c[:, :b1_, :, :b2_]
+        ext = jnp.transpose(c, (0, 2, 3, 1, 4)).reshape(nc1 * nc2, b1_ * b2_, mm_)
+        sub = jnp.take(panels_, idx, axis=0)
+        return _mm(jnp.swapaxes(sub, -1, -2), ext)
+
+    def r_coset():
+        mc = 64
+        m_ = y.shape[-1]
+        outs = []
+        for s in range(0, m_, mc):
+            y3d = unflatten_fov(y[:, s : s + mc], D1, D2, order)
+            parts = [
+                _coset_rmatmul(panels, y3d, idx, meta, b1, b2)
+                for idx, meta in zip(idxs, metas)
+            ]
+            outs.append(jnp.take(jnp.concatenate(parts, axis=0), _inv, axis=0))
+        return jnp.concatenate(outs, axis=2).reshape(n * 20, -1)
+
     variants = {
         "scatter": lambda: u_scat.matmul(x),
         "coset": lambda: u_cos.matmul(x),
         "coset_pad": coset_pad,
         "pure_mm": lambda: pure_matmul(panels, x),
         "fused": lambda: fused_coset(panels, x),
+        "r_gather": lambda: u_scat.rmatmul(y),
+        "r_coset": r_coset,
+        "gram_gather": lambda: u_scat.gram_quadratic(x),
+        "gram_coset": lambda: u_cos.gram_quadratic(x),
     }
     which = sys.argv[1:] or ["scatter", "coset"]
     if which == ["all"]:

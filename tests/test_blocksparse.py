@@ -79,6 +79,11 @@ class TestBlockSparse:
             out_chunked, np.asarray(u_scat.matmul(jnp.asarray(x_wide))),
             rtol=1e-5, atol=1e-5,
         )
+        # coset_info's inverse permutation maps the coset-order concat back
+        # to block order (used by ablation tooling; production rmatmul
+        # stays on the measured-faster gather path)
+        inv = np.asarray(grid.coset_info()[5])
+        assert (ids[inv] == np.arange(n)).all()
 
     def test_rmatmul_matches_dense(self, rng):
         u, dense, _ = make_case(rng)
