@@ -156,6 +156,22 @@ def estimate_pipeline_flops(
     return fl
 
 
+def _retry_run(movie, attempts=3, **kw):
+    """The tunneled TPU is multi-tenant: identical programs OOM or fit
+    run-to-run depending on co-tenants. Retry RESOURCE_EXHAUSTED a couple
+    of times (with a pause for the neighbor's burst to drain) so a driver
+    run on a congested chip still produces a number."""
+    for i in range(attempts):
+        try:
+            return run_once(movie, **kw)
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
+                raise
+            print(f"# RESOURCE_EXHAUSTED (multi-tenant chip), retry {i + 1}",
+                  file=sys.stderr)
+            time.sleep(20)
+
+
 def main():
     try:
         import jax
@@ -170,10 +186,16 @@ def main():
     t = int(os.environ.get("BENCH_FRAMES", "2048"))
     movie = make_movie(d1, d2, t)
 
-    _, cold = run_once(movie)
+    _, cold = _retry_run(movie)
     warms = []
+    pmd = None
     for _ in range(5):
-        pmd, w = run_once(movie)
+        try:
+            pmd, w = _retry_run(movie)
+        except Exception:  # noqa: BLE001
+            if pmd is None:
+                raise
+            continue  # keep the warms already collected
         warms.append(w)
     warm = min(warms)  # best-of-5: tunnel dispatch jitter dominates
     median = sorted(warms)[len(warms) // 2]
