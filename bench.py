@@ -192,9 +192,14 @@ def main():
     for _ in range(5):
         try:
             pmd, w = _retry_run(movie)
-        except Exception:  # noqa: BLE001
-            if pmd is None:
+        except Exception as e:  # noqa: BLE001
+            # only tenancy OOMs are survivable; anything else (shape error,
+            # NaN guard, driver fault) must fail the bench loudly — silently
+            # shrinking the sample would mask real regressions
+            if pmd is None or "RESOURCE_EXHAUSTED" not in str(e):
                 raise
+            print("# warm run dropped: RESOURCE_EXHAUSTED persisted through "
+                  "retries", file=sys.stderr)
             continue  # keep the warms already collected
         warms.append(w)
     warm = min(warms)  # best-of-5: tunnel dispatch jitter dominates

@@ -275,11 +275,24 @@ class BlockGrid:
         return cached
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=8)
 def block_grid(d1: int, d2: int, block_sizes: Tuple[int, int], order: str = "F") -> BlockGrid:
     """Memoized :class:`BlockGrid` constructor — the grid is pure static
-    metadata, so repeated pipeline runs of one configuration reuse it."""
+    metadata, so repeated pipeline runs of one configuration reuse it.
+
+    Memoized grids also hold device buffers once :meth:`device_constants` /
+    :meth:`coset_info` run (row map + pyramid weights: ~20 MB of HBM at a
+    1024^2/40x40 grid), so the cache is small (8 configs) and evictable:
+    call :func:`clear_block_grid_cache` to release the HBM when sweeping
+    many FOV/block configurations in one process."""
     return BlockGrid(d1, d2, block_sizes, order)
+
+
+def clear_block_grid_cache() -> None:
+    """Drop all memoized grids (and with them their cached device constants
+    and coset metadata, freeing the pinned HBM). Safe at any time: in-flight
+    pipelines keep their own references alive."""
+    block_grid.cache_clear()
 
 
 # ---------------------------------------------------------------------------

@@ -499,66 +499,90 @@ def localmd_decomposition(
         counts = loaded["counts"]
         v_blocks = jnp.asarray(loaded["v_blocks"])
         temporal_basis_crop = jnp.asarray(loaded["temporal_basis_crop"])
-        bb = 0  # skip the loop below
-    for s in range(0, n_blocks if bb else 0, bb or 1):
-        idx = np.arange(s, min(s + bb, n_blocks))
-        pad = bb - len(idx)
-        idx_padded = np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
-        starts_batch = jnp.asarray(starts_host[idx_padded])
-        keys_batch = jnp.asarray(
-            block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
-        )
-        if single_window:
-            # Default path: the whole chunk pipeline (gather -> decompose ->
-            # filter/pack -> project) is ONE compiled program; with a mesh it
-            # is shard_map'd over the block axis (pure data parallelism).
-            if mesh is not None:
-                from localmd_tpu.parallel.sharded import sharded_window0_chunk_step
+        bb = 0  # skip the stage below
 
-                acc_c, counts_c, v_c = sharded_window0_chunk_step(
-                    mesh, data_crop, starts_batch, keys_batch, b1, b2,
-                    max_components, temporal_avg_factor, spatial_avg_factor,
-                    spatial_threshold, temporal_threshold,
-                    max_consecutive_failures, sden, tden,
-                    t_used=crop_avg_constant,
-                )
-            else:
-                acc_c, counts_c, v_c = engine.window0_chunk_step(
-                    data_crop, starts_batch, keys_batch, b1, b2, max_components,
-                    temporal_avg_factor, spatial_avg_factor,
-                    spatial_threshold, temporal_threshold,
-                    max_consecutive_failures, sden, tden,
-                    crop_avg_constant,
-                )
-            result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
-        else:
-            # Multi-window incremental-basis path: one compiled program per
-            # chunk (device-side early-stop); with a mesh the block axis is
-            # shard_map'd (see parallel.sharded.sharded_windowed_pmd).
-            patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
-            result = windowed_pmd_batched(
-                patch_batch,
-                keys_batch,
-                window_len,
-                max_components,
-                spatial_threshold,
-                temporal_threshold,
-                max_consecutive_failures,
-                temporal_avg_factor,
-                spatial_avg_factor,
-                sden,
-                tden,
-                mesh=mesh,
+    def _run_block_stage(bb):
+        panels_chunks, counts_chunks, temporal_chunks = [], [], []
+        for s in range(0, n_blocks, bb):
+            idx = np.arange(s, min(s + bb, n_blocks))
+            pad = bb - len(idx)
+            idx_padded = (
+                np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
             )
-        sl = slice(0, len(idx))
-        panels_chunks.append(result.spatial[sl])
-        counts_chunks.append(result.counts[sl])
-        temporal_chunks.append(result.temporal[sl])
+            starts_batch = jnp.asarray(starts_host[idx_padded])
+            keys_batch = jnp.asarray(
+                block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
+            )
+            if single_window:
+                # Default path: the whole chunk pipeline (gather -> decompose
+                # -> filter/pack -> project) is ONE compiled program; with a
+                # mesh it is shard_map'd over the block axis (data parallel).
+                if mesh is not None:
+                    from localmd_tpu.parallel.sharded import (
+                        sharded_window0_chunk_step,
+                    )
+
+                    acc_c, counts_c, v_c = sharded_window0_chunk_step(
+                        mesh, data_crop, starts_batch, keys_batch, b1, b2,
+                        max_components, temporal_avg_factor, spatial_avg_factor,
+                        spatial_threshold, temporal_threshold,
+                        max_consecutive_failures, sden, tden,
+                        t_used=crop_avg_constant,
+                    )
+                else:
+                    acc_c, counts_c, v_c = engine.window0_chunk_step(
+                        data_crop, starts_batch, keys_batch, b1, b2,
+                        max_components, temporal_avg_factor, spatial_avg_factor,
+                        spatial_threshold, temporal_threshold,
+                        max_consecutive_failures, sden, tden,
+                        crop_avg_constant,
+                    )
+                result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
+            else:
+                # Multi-window incremental-basis path: one compiled program
+                # per chunk (device-side early-stop); with a mesh the block
+                # axis is shard_map'd (see parallel.sharded.sharded_windowed_pmd).
+                patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
+                result = windowed_pmd_batched(
+                    patch_batch,
+                    keys_batch,
+                    window_len,
+                    max_components,
+                    spatial_threshold,
+                    temporal_threshold,
+                    max_consecutive_failures,
+                    temporal_avg_factor,
+                    spatial_avg_factor,
+                    sden,
+                    tden,
+                    mesh=mesh,
+                )
+            sl = slice(0, len(idx))
+            panels_chunks.append(result.spatial[sl])
+            counts_chunks.append(result.counts[sl])
+            temporal_chunks.append(result.temporal[sl])
+        panels = jnp.concatenate(panels_chunks, axis=0)      # (N, p, S)
+        counts = np.asarray(jnp.concatenate(counts_chunks))  # (N,) SYNC point
+        v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
+        return panels, counts, v_blocks
 
     if not blocks_ckpt:
-        panels = jnp.concatenate(panels_chunks, axis=0)      # (N, p, S)
-        counts = np.asarray(jnp.concatenate(counts_chunks))  # (N,)
-        v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
+        while True:
+            try:
+                panels, counts, v_blocks = _run_block_stage(bb)
+                break
+            except Exception as e:  # noqa: BLE001
+                # Multi-tenant TPUs: free HBM can shrink between the budget
+                # probe and execution. Halve the batch and redo the stage
+                # (results are per-block, so a rerun is exact, and the PRNG
+                # keys are pre-split per block — same seed, same sketches).
+                if "RESOURCE_EXHAUSTED" not in str(e) or bb <= 16:
+                    raise
+                bb = max(16, bb // 2)
+                display(
+                    f"Device memory exhausted mid-stage (multi-tenant chip?); "
+                    f"retrying blockwise decomposition in batches of {bb}"
+                )
         ckpt.save(
             "blocks",
             panels=panels,
@@ -570,7 +594,7 @@ def localmd_decomposition(
         # point works from the panels/temporal fits, and the streaming V pass
         # needs that HBM back (a 1024^2 x 1024 f32 movie is ~4.3 GB).
         data_crop = None
-        del panels_chunks, counts_chunks, temporal_chunks
+
 
     total_rank = int(counts.sum())
     _mark("block_decomposition")

@@ -185,6 +185,11 @@ class PMDArray:
     @property
     def rank(self) -> int:
         src = self._s_host if self._s_src is None else self._s_src
+        if src is None:
+            raise RuntimeError(
+                "PMDArray was closed with materialize=False before its "
+                "host factors were materialized; no data remains"
+            )
         return int(src.shape[0])
 
     @property
@@ -349,7 +354,14 @@ class PMDArray:
             # source array; take the host copy so slicing keeps working
             _ = self.v
         if materialize:
-            _ = self.s, self.mean_img, self.var_img
+            # per-factor guards keep close() idempotent after an earlier
+            # close(materialize=False) — e.g. the context manager's __exit__
+            if self._s_host is not None or self._s_src is not None:
+                _ = self.s
+            if self._mean_host is not None or self._mean_src is not None:
+                _ = self.mean_img
+            if self._var_host is not None or self._var_src is not None:
+                _ = self.var_img
         self._combined_temporal_dev = None
         self._panels_c = None
         self._r_padded = None

@@ -121,9 +121,10 @@ def profile(workload):
         mark("4_block_chunk(dev)", acc)
         data = None  # movie-sized HBM back before the SVD/regression steps
         del acc_c, cnt_c, v_c
-        counts = np.asarray(counts_d)
-        steps[label_prefix + "4b_counts_pull"] = 0.0
-        t0 = time.perf_counter()
+        counts = np.asarray(counts_d)   # blocking D2H pull (~1 RTT)
+        t1 = time.perf_counter()
+        steps[label_prefix + "4b_counts_pull"] = round(t1 - t0, 4)
+        t0 = t1
 
         wf, cf, rows_dev, starts_dev = grid.device_constants()
         panels = acc * wf[None, :, None]

@@ -465,9 +465,57 @@ class TestCloseWithoutMaterialize:
         assert pmd._v_host is None
         assert pmd._u_csr is None
         assert pmd._blocksparse is None and pmd._v_src is None
-        for prop in ("u", "v", "r"):
+        for prop in ("u", "v", "r", "rank"):
             with pytest.raises(RuntimeError, match="materialize=False"):
                 getattr(pmd, prop)
+        # close() is idempotent: a later plain close (e.g. the context
+        # manager's __exit__) must not try to materialize dropped factors
+        pmd.close()
+        pmd.close(materialize=False)
+
+    def test_context_manager_exit_after_materialize_false(self, rng):
+        """`with` + close(materialize=False) inside the block: __exit__'s
+        close() must be a no-op, not a RuntimeError."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        with localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        ) as pmd:
+            pmd.close(materialize=False)
+        with pytest.raises(RuntimeError, match="materialize=False"):
+            _ = pmd.rank
+
+
+class TestBlockStageOOMRetry:
+    def test_block_stage_retries_on_resource_exhausted(self, rng, monkeypatch):
+        """A RESOURCE_EXHAUSTED mid-block-stage (multi-tenant chip: free HBM
+        shrinks between the budget probe and execution) must halve the batch
+        and redo the stage, not kill the pipeline. Keys are pre-split per
+        block, so the retried run is bit-identical to an undisturbed one."""
+        import localmd_tpu.engine as engine_mod
+        from localmd_tpu import pipeline as pipeline_mod
+
+        # 40x40 FOV / 10x10 blocks = 49 blocks, so the initial batch (49)
+        # is above the 16-block retry floor and the halving path is real
+        movie = make_low_rank_movie(2, (280, 40, 40), rng)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        clean = localmd_decomposition(movie, **kw)
+        real_step = engine_mod.window0_chunk_step
+        calls = {"n": 0}
+
+        def flaky_step(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            return real_step(*args, **kwargs)
+
+        monkeypatch.setattr(pipeline_mod.engine, "window0_chunk_step", flaky_step)
+        retried = localmd_decomposition(movie, **kw)
+        assert calls["n"] >= 2  # the stage actually re-ran
+        np.testing.assert_allclose(retried[5], clean[5], atol=1e-5)
 
     def test_close_materialize_false_keeps_existing_host_state(self, rng):
         """Factors already materialized before close survive it."""
