@@ -311,6 +311,10 @@ class PMDLoader:
         if self.num_workers and hasattr(self.dataset, "set_io_threads"):
             self.dataset.set_io_threads(self.num_workers)
 
+        # lazy host copies of mean/std (see _host_stats)
+        self._mean_host: Optional[np.ndarray] = None
+        self._std_host: Optional[np.ndarray] = None
+
         # checkpoint/resume hook: skip the statistics/background passes when
         # a prior run's results are supplied
         if precomputed and "mean_img" in precomputed:
@@ -618,10 +622,18 @@ class PMDLoader:
 
     # -- standardized views -----------------------------------------------------
 
+    def _host_stats(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Host copies of mean/std, pulled once and cached (mean_img/std_img
+        are device-resident; repeated ``np.asarray`` would pay a blocking
+        D2H round trip per call)."""
+        if self._mean_host is None:
+            self._mean_host = np.asarray(self.mean_img)
+            self._std_host = np.asarray(self.std_img)
+        return self._mean_host, self._std_host
+
     def temporal_crop_standardized(self, frames) -> np.ndarray:
         crop = self.temporal_crop(frames)
-        mean = np.asarray(self.mean_img)
-        std = np.asarray(self.std_img)
+        mean, std = self._host_stats()
         crop = (crop - mean[:, :, None]) / std[:, :, None]
         return crop.astype(self.dtype)
 

@@ -576,9 +576,17 @@ def localmd_decomposition(
                 # probe and execution. Halve the batch and redo the stage
                 # (results are per-block, so a rerun is exact, and the PRNG
                 # keys are pre-split per block — same seed, same sketches).
-                if "RESOURCE_EXHAUSTED" not in str(e) or bb <= 16:
+                if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                bb = max(16, bb // 2)
+                new_bb = max(16, bb // 2)
+                if mesh is not None:
+                    # keep the retried batch shardable (shard_map requires
+                    # the block axis divisible by the mesh size)
+                    n_dev = mesh.devices.size
+                    new_bb = ((new_bb + n_dev - 1) // n_dev) * n_dev
+                if new_bb >= bb:
+                    raise  # at the floor (16, or one mesh row) — can't shrink
+                bb = new_bb
                 display(
                     f"Device memory exhausted mid-stage (multi-tenant chip?); "
                     f"retrying blockwise decomposition in batches of {bb}"

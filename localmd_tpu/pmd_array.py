@@ -365,13 +365,21 @@ class PMDArray:
         self._combined_temporal_dev = None
         self._panels_c = None
         self._r_padded = None
-        # drop the device references too (keeping them would pin their HBM);
+
+        # drop the DEVICE references (keeping them would pin their HBM);
         # with materialize=True (or an earlier host access) the host copies
-        # take over, otherwise the accessors raise.
-        self._v_src = self._v_host
-        self._s_src = self._s_host
-        self._mean_src = self._mean_host
-        self._var_src = self._var_host
+        # take over. Sources that are already host numpy arrays (npz/scipy-
+        # built PMDArrays) pin no HBM and need no transfer, so they survive
+        # even with materialize=False.
+        def _survivor(src, host):
+            if host is not None:
+                return host
+            return src if isinstance(src, np.ndarray) else None
+
+        self._v_src = _survivor(self._v_src, self._v_host)
+        self._s_src = _survivor(self._s_src, self._s_host)
+        self._mean_src = _survivor(self._mean_src, self._mean_host)
+        self._var_src = _survivor(self._var_src, self._var_host)
 
     def __enter__(self) -> "PMDArray":
         return self

@@ -119,6 +119,23 @@ class TestStandardizeAndFilter:
         assert tb.shape == (k, t)
 
 
+class TestHostStatsCache:
+    def test_host_stats_pulled_once(self, rng):
+        """temporal_crop_standardized uses cached host mean/std — repeated
+        calls must not re-pull the device-resident images (a blocking D2H
+        round trip per call on a tunneled link)."""
+        movie = rng.standard_normal((300, 10, 10)).astype(np.float32)
+        load_obj = PMDLoader(movie, seed=0)
+        m1, s1 = load_obj._host_stats()
+        m2, s2 = load_obj._host_stats()
+        assert m1 is m2 and s1 is s2  # same host objects, no second pull
+        crop = load_obj.temporal_crop_standardized(list(range(20)))
+        expected = (
+            movie[:20].transpose(1, 2, 0) - m1[:, :, None]
+        ) / s1[:, :, None]
+        np.testing.assert_allclose(crop, expected, rtol=1e-5)
+
+
 class TestDeviceMovie:
     def test_device_slicing(self, rng):
         movie = rng.standard_normal((50, 8, 6)).astype(np.float32)

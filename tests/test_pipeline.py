@@ -465,9 +465,12 @@ class TestCloseWithoutMaterialize:
         assert pmd._v_host is None
         assert pmd._u_csr is None
         assert pmd._blocksparse is None and pmd._v_src is None
-        for prop in ("u", "v", "r", "rank"):
+        for prop in ("u", "v", "r"):
             with pytest.raises(RuntimeError, match="materialize=False"):
                 getattr(pmd, prop)
+        # s was already host numpy (pulled for pruning), so it survives a
+        # transfer-free close — rank stays queryable
+        assert pmd.rank == int(pmd.s.shape[0])
         # close() is idempotent: a later plain close (e.g. the context
         # manager's __exit__) must not try to materialize dropped factors
         pmd.close()
@@ -483,7 +486,41 @@ class TestCloseWithoutMaterialize:
         ) as pmd:
             pmd.close(materialize=False)
         with pytest.raises(RuntimeError, match="materialize=False"):
-            _ = pmd.rank
+            _ = pmd.v  # device-sourced factor is gone, without a D2H pull
+
+    def test_close_materialize_false_keeps_existing_host_state(self, rng):
+        """Factors already materialized before close survive it."""
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        before = pmd[5]
+        _ = pmd.u, pmd.r, pmd.v  # materialize host factors
+        pmd.close(materialize=False)
+        np.testing.assert_allclose(pmd[5], before, atol=1e-6)
+
+    def test_close_materialize_false_keeps_numpy_sources(self, rng, tmp_path):
+        """npz/scipy-built arrays hold HOST factors; close(materialize=False)
+        skips D2H transfers but must not discard sources that never lived on
+        device — slicing keeps working."""
+        from localmd_tpu import PMDArray
+        movie = make_low_rank_movie(2, (280, 20, 20), rng)
+        pmd = localmd_decomposition(
+            movie, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        path = str(tmp_path / "d.npz")
+        pmd.to_npz(path)
+        before = pmd[5]
+        pmd.close()
+
+        loaded = PMDArray.from_npz(path)
+        assert loaded._v_host is None  # nothing materialized yet
+        loaded.close(materialize=False)
+        # numpy-backed factors survive: rank/s/slicing all still work
+        assert loaded.rank == pmd.rank
+        np.testing.assert_allclose(loaded[5], before, atol=1e-5)
 
 
 class TestBlockStageOOMRetry:
@@ -517,17 +554,43 @@ class TestBlockStageOOMRetry:
         assert calls["n"] >= 2  # the stage actually re-ran
         np.testing.assert_allclose(retried[5], clean[5], atol=1e-5)
 
-    def test_close_materialize_false_keeps_existing_host_state(self, rng):
-        """Factors already materialized before close survive it."""
-        movie = make_low_rank_movie(2, (280, 20, 20), rng)
-        pmd = localmd_decomposition(
-            movie, (10, 10), frame_range=280, max_components=4,
+    def test_mesh_retry_keeps_batch_shardable(self, rng, monkeypatch):
+        """On the mesh path the halved retry batch must stay divisible by the
+        mesh size (shard_map contract) — and the retry floor becomes one
+        mesh row rather than 16."""
+        import jax
+        from jax.sharding import Mesh
+
+        from localmd_tpu.parallel import sharded as sharded_mod
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("blocks",))
+        movie = make_low_rank_movie(2, (280, 40, 40), rng)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
             background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
         )
-        before = pmd[5]
-        _ = pmd.u, pmd.r, pmd.v  # materialize host factors
-        pmd.close(materialize=False)
-        np.testing.assert_allclose(pmd[5], before, atol=1e-6)
+        clean = localmd_decomposition(movie, **kw)
+
+        real_step = sharded_mod.sharded_window0_chunk_step
+        seen_batches = []
+
+        def flaky_step(mesh_arg, data, starts, keys, *args, **kwargs):
+            seen_batches.append(int(starts.shape[0]))
+            if len(seen_batches) == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            return real_step(mesh_arg, data, starts, keys, *args, **kwargs)
+
+        # the pipeline imports this symbol at call time, so patching the
+        # module attribute intercepts the sharded dispatch
+        monkeypatch.setattr(
+            sharded_mod, "sharded_window0_chunk_step", flaky_step
+        )
+        retried = localmd_decomposition(movie, mesh=mesh, **kw)
+        assert len(seen_batches) >= 2
+        # every dispatched batch (incl. after the halving) is mesh-divisible
+        assert all(b % 4 == 0 for b in seen_batches)
+        assert seen_batches[-1] < seen_batches[0]  # the halving happened
+        np.testing.assert_allclose(retried[5], clean[5], atol=1e-4)
 
 
 class TestHBMCachePipeline:
