@@ -663,19 +663,38 @@ def localmd_decomposition(
     display(f"Rank after reduction: <= {p.shape[1]}")
     _mark("factorized_svd")
 
-    # -- streaming temporal regression (full movie, second pass) ---------------
-    if ckpt.has("v"):
-        display("Resuming: V regression loaded from checkpoint")
-        v = jnp.asarray(ckpt.load("v")["v"])
-    else:
-        display("Running streaming V regression over the full movie")
-        v = load_obj.v_projection(u, p, mesh=mesh)
-        ckpt.save("v", v=v)
-    _mark("v_regression")
-
-    # -- final reformat ---------------------------------------------------------
-    display("Final SVD reformat")
-    r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
+    # -- streaming temporal regression (full movie, second pass) + reformat ----
+    # The two phases share one OOM-retry scope: the regression's dispatches
+    # are async, so a multi-tenant RESOURCE_EXHAUSTED during them surfaces
+    # at the reformat's singular-value pull (the first device sync). On OOM
+    # we drop the HBM movie cache (several GB back to a pressured chip) and
+    # re-stream the uncached frames from the dataset — exact same result,
+    # just slower.
+    for attempt in (0, 1):
+        try:
+            if ckpt.has("v"):
+                display("Resuming: V regression loaded from checkpoint")
+                v = jnp.asarray(ckpt.load("v")["v"])
+            else:
+                display("Running streaming V regression over the full movie")
+                v = load_obj.v_projection(u, p, mesh=mesh)
+            _mark("v_regression")
+            display("Final SVD reformat")
+            r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
+            break
+        except Exception as e:  # pragma: no cover - hardware OOM path
+            if (
+                "RESOURCE_EXHAUSTED" not in str(e)
+                or getattr(load_obj, "_cache", None) is None
+                or attempt
+            ):
+                raise
+            display(
+                "WARNING: V regression hit device OOM (multi-tenant chip?); "
+                "dropping the HBM movie cache and re-streaming"
+            )
+            load_obj.release_cache()
+    ckpt.save("v", v=v)
     _mark("final_reformat")
     display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
     display(f"Stage timings (s): {timings}")

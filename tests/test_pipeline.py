@@ -593,6 +593,56 @@ class TestBlockStageOOMRetry:
         np.testing.assert_allclose(retried[5], clean[5], atol=1e-4)
 
 
+class TestVPhaseOOMRetry:
+    def test_v_regression_oom_drops_cache_and_retries(self, rng, monkeypatch):
+        """A RESOURCE_EXHAUSTED in the V-regression/reformat phase (surfaces
+        at the first device sync because the regression dispatches async)
+        must drop the HBM movie cache and re-stream — same result, bounded
+        memory, no dead run."""
+        from localmd_tpu.loader import PMDLoader
+
+        movie = make_low_rank_movie(2, (300, 24, 24), rng, noise=0.1)
+        kw = dict(
+            block_sizes=(12, 12), frame_range=300, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        clean = localmd_decomposition(movie, cache_movie=True, **kw)
+
+        real_vproj = PMDLoader.v_projection
+        calls = {"n": 0}
+
+        def flaky_vproj(self, u, p, mesh=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                assert self._cache is not None  # cache held when the OOM hits
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            assert self._cache is None  # retry runs with the cache released
+            return real_vproj(self, u, p, mesh=mesh)
+
+        monkeypatch.setattr(PMDLoader, "v_projection", flaky_vproj)
+        retried = localmd_decomposition(movie, cache_movie=True, **kw)
+        assert calls["n"] == 2
+        np.testing.assert_allclose(retried[5], clean[5], atol=1e-5)
+
+    def test_v_regression_oom_without_cache_reraises(self, rng, monkeypatch):
+        """With no cache to release there is nothing to retry with — the
+        error must propagate (it is a genuine capacity failure)."""
+        from localmd_tpu.loader import PMDLoader
+
+        movie = make_low_rank_movie(2, (300, 24, 24), rng, noise=0.1)
+
+        def dead_vproj(self, u, p, mesh=None):
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+
+        monkeypatch.setattr(PMDLoader, "v_projection", dead_vproj)
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            localmd_decomposition(
+                movie, (12, 12), frame_range=300, max_components=4,
+                background_rank=1, temporal_avg_factor=4, sim_iters=15,
+                seed=0, cache_movie=False,
+            )
+
+
 class TestHBMCachePipeline:
     def test_cache_movie_end_to_end_identical(self, rng):
         """cache_movie=True must be numerically invisible: the cached bytes
