@@ -321,7 +321,7 @@ class PMDLoader:
             self.mean_img = np.asarray(precomputed["mean_img"])
             self.std_img = np.asarray(precomputed["std_img"])
         else:
-            self._initialize_normalizers()
+            self._run_stats_with_oom_retry()
         if precomputed and "spatial_basis" in precomputed:
             self.spatial_basis = jnp.asarray(precomputed["spatial_basis"])
         else:
@@ -504,6 +504,38 @@ class PMDLoader:
         return (load(r) for r in ranges)
 
     # -- statistics ------------------------------------------------------------
+
+    def _run_stats_with_oom_retry(self):
+        """Run the statistics pass; on a device OOM while the HBM movie cache
+        was being built, drop the cache and recompute without it.
+
+        The stats dispatches are async, so a multi-tenant RESOURCE_EXHAUSTED
+        during them would otherwise surface at some later sync where the
+        stats buffers are already poisoned and no retry can help. When a
+        cache was built, one scalar sync here (a single D2H round trip, paid
+        only on streaming runs whose wall time is transfer-dominated anyway)
+        makes the failure surface at the one point where releasing the
+        multi-GB cache can still save the run."""
+        for attempt in (0, 1):
+            try:
+                self._initialize_normalizers()
+                if self._cache is not None and not self._device_resident:
+                    float(jnp.sum(self.mean_img) + jnp.sum(self.std_img))
+                return
+            except Exception as e:  # noqa: BLE001
+                cache_was_up = (
+                    self._cache is not None
+                    or getattr(self, "_cache_building", False)
+                )
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt or not cache_was_up:
+                    raise
+                display(
+                    "WARNING: statistics pass hit device OOM (multi-tenant "
+                    "chip?); retrying without the HBM movie cache"
+                )
+                self._cache_building = False
+                self.release_cache()
+                self._cache_policy = False
 
     def _initialize_normalizers(self):
         display("Computing video statistics (mean + noise sigma)")

@@ -303,3 +303,64 @@ class TestHBMMovieCache:
         loader = PMDLoader(movie, background_rank=0, seed=0, cache_movie="auto")
         # CPU backend has no memory_stats -> no cache built
         assert loader._cache is None and loader._cache_frames == 0
+
+
+class TestStatsPassOOMRetry:
+    """The stats pass builds the HBM movie cache while it streams; a
+    multi-tenant RESOURCE_EXHAUSTED during it must drop the cache and
+    recompute the statistics without it (same numbers, bounded memory)."""
+
+    def _make(self, rng, t=520, d1=14, d2=12):
+        return (rng.standard_normal((t, d1, d2)) * 2 + 5).astype(np.float32)
+
+    def test_stats_oom_drops_cache_and_retries(self, rng, monkeypatch):
+        import localmd_tpu.loader as loader_mod
+
+        movie = self._make(rng)
+        want = PMDLoader(movie, background_rank=1, seed=0, cache_movie=False)
+
+        real = loader_mod.get_mean_and_noise
+        calls = {"n": 0}
+
+        def flaky(chunk, t_total):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            return real(chunk, t_total)
+
+        monkeypatch.setattr(loader_mod, "get_mean_and_noise", flaky)
+        loader = PMDLoader(movie, background_rank=1, seed=0, cache_movie=True)
+        # the retry ran without the cache and must not rebuild it
+        assert loader._cache is None and loader._cache_frames == 0
+        assert loader._cache_policy is False
+        assert calls["n"] >= 2
+        np.testing.assert_allclose(
+            np.asarray(loader.mean_img), np.asarray(want.mean_img), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader.std_img), np.asarray(want.std_img), atol=1e-6
+        )
+
+    def test_stats_oom_without_cache_reraises(self, rng, monkeypatch):
+        import localmd_tpu.loader as loader_mod
+
+        movie = self._make(rng)
+
+        def dead(chunk, t_total):
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+
+        monkeypatch.setattr(loader_mod, "get_mean_and_noise", dead)
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            PMDLoader(movie, background_rank=1, seed=0, cache_movie=False)
+
+    def test_non_oom_error_propagates(self, rng, monkeypatch):
+        import localmd_tpu.loader as loader_mod
+
+        movie = self._make(rng)
+
+        def dead(chunk, t_total):
+            raise ValueError("unrelated failure")
+
+        monkeypatch.setattr(loader_mod, "get_mean_and_noise", dead)
+        with pytest.raises(ValueError, match="unrelated"):
+            PMDLoader(movie, background_rank=1, seed=0, cache_movie=True)
