@@ -635,43 +635,45 @@ def localmd_decomposition(
     k_bg = u.dense_basis.shape[1]
     display(f"Rank before pruning: {total_rank + k_bg}")
     key, sub = jax.random.split(key)
-    if ckpt.has("projector"):
-        display("Resuming: mixing matrix loaded from checkpoint")
-        p = jnp.asarray(ckpt.load("projector")["p"])
-    elif rank_prune:
-        if rank_prune_factor <= 0 or rank_prune_factor > 1:
-            raise ValueError("rank_prune_factor must be in (0, 1]")
-        min_dim = min(total_rank + k_bg, v_cropped.shape[1])
-        random_mat = jax.random.normal(
-            sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
-        )
-        projected_v = jnp.matmul(v_cropped, random_mat)
-        p = compute_lowrank_factorized_svd(
-            u, projected_v, only_left=True, mesh=mesh,
-            expected_rank=total_rank + k_bg,
-        )
-        ckpt.save("projector", p=p)
-    else:
-        p = compute_lowrank_factorized_svd(
-            u, v_cropped, only_left=True, mesh=mesh,
-            expected_rank=total_rank + k_bg,
-        )
-        ckpt.save("projector", p=p)
-    # p.shape[1] is an upper bound: the device-side top-k cut ZEROES
-    # rank-deficient directions rather than dropping them (no host sync on
-    # the critical path); true rank surfaces after final_rank_tol pruning.
-    display(f"Rank after reduction: <= {p.shape[1]}")
-    _mark("factorized_svd")
+    if rank_prune and (rank_prune_factor <= 0 or rank_prune_factor > 1):
+        raise ValueError("rank_prune_factor must be in (0, 1]")
 
-    # -- streaming temporal regression (full movie, second pass) + reformat ----
-    # The two phases share one OOM-retry scope: the regression's dispatches
-    # are async, so a multi-tenant RESOURCE_EXHAUSTED during them surfaces
-    # at the reformat's singular-value pull (the first device sync). On OOM
-    # we drop the HBM movie cache (several GB back to a pressured chip) and
-    # re-stream the uncached frames from the dataset — exact same result,
-    # just slower.
+    def _compute_projector():
+        if ckpt.has("projector"):
+            display("Resuming: mixing matrix loaded from checkpoint")
+            return jnp.asarray(ckpt.load("projector")["p"])
+        if rank_prune:
+            min_dim = min(total_rank + k_bg, v_cropped.shape[1])
+            random_mat = jax.random.normal(
+                sub, (v_cropped.shape[1], int(min_dim * rank_prune_factor))
+            )
+            target_v = jnp.matmul(v_cropped, random_mat)
+        else:
+            target_v = v_cropped
+        p_ = compute_lowrank_factorized_svd(
+            u, target_v, only_left=True, mesh=mesh,
+            expected_rank=total_rank + k_bg,
+        )
+        ckpt.save("projector", p=p_)
+        return p_
+
+    # -- projector + streaming temporal regression (second pass) + reformat ----
+    # The three phases share one OOM-retry scope: every dispatch is async, so
+    # a multi-tenant RESOURCE_EXHAUSTED raised anywhere in the Gram chain or
+    # the regression surfaces at the first device sync (the checkpoint save or
+    # the reformat's singular-value pull), leaving earlier arrays poisoned. On
+    # OOM we drop the HBM movie cache (several GB back to a pressured chip),
+    # recompute the projector from the same PRNG key (exact same sketch), and
+    # re-stream the uncached frames from the dataset — same result, slower.
     for attempt in (0, 1):
         try:
+            p = _compute_projector()
+            # p.shape[1] is an upper bound: the device-side top-k cut ZEROES
+            # rank-deficient directions rather than dropping them (no host
+            # sync on the critical path); true rank surfaces after
+            # final_rank_tol pruning.
+            display(f"Rank after reduction: <= {p.shape[1]}")
+            _mark("factorized_svd")
             if ckpt.has("v"):
                 display("Resuming: V regression loaded from checkpoint")
                 v = jnp.asarray(ckpt.load("v")["v"])
@@ -690,8 +692,9 @@ def localmd_decomposition(
             ):
                 raise
             display(
-                "WARNING: V regression hit device OOM (multi-tenant chip?); "
-                "dropping the HBM movie cache and re-streaming"
+                "WARNING: factorized SVD / V regression hit device OOM "
+                "(multi-tenant chip?); dropping the HBM movie cache and "
+                "re-streaming"
             )
             load_obj.release_cache()
     ckpt.save("v", v=v)

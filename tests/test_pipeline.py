@@ -930,3 +930,109 @@ class TestDenoisersAndWeighting:
         # weighting shapes the basis fit only; reconstruction is unweighted
         rel = np.linalg.norm(pmd[:, :, :] - movie) / np.linalg.norm(movie)
         assert rel < 0.05, rel
+
+
+class TestMultiTenantOOMRetry:
+    """The hardware RESOURCE_EXHAUSTED retry scopes in the pipeline, simulated
+    on CPU by raising the same error text from inside each scope. On the real
+    (multi-tenant) TPU these fire when a neighbor tenant grabs HBM mid-run;
+    the retries drop the HBM movie cache and recompute — same seed, same
+    sketches, identical output."""
+
+    def _arm_fake_cache(self, monkeypatch, released):
+        """Install a PMDLoader subclass whose cache is 'present' (making the
+        pipeline's retry scopes eligible) but never serves a frame."""
+        import localmd_tpu.pipeline as pl
+
+        real_loader = pl.PMDLoader
+
+        class CachedLoader(real_loader):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                self._cache = jnp.zeros((1,), dtype=jnp.float32)
+                self._cache_frames = 0  # inert: _cache_serves stays False
+
+            def release_cache(self):
+                released.append(True)
+                super().release_cache()
+
+        monkeypatch.setattr(pl, "PMDLoader", CachedLoader)
+        return CachedLoader
+
+    def _run(self, rng_movie):
+        return localmd_decomposition(
+            rng_movie, (12, 12), frame_range=300, max_components=6,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+
+    def test_projector_oom_recomputes_and_completes(self, rng, monkeypatch):
+        import localmd_tpu.pipeline as pl
+
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        clean = np.asarray(self._run(movie)[:, :, :])
+
+        released = []
+        self._arm_fake_cache(monkeypatch, released)
+        real = pl.compute_lowrank_factorized_svd
+        calls = []
+
+        def flaky(*a, **k):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+            return real(*a, **k)
+
+        monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", flaky)
+        pmd = self._run(movie)
+        assert len(calls) == 2, "projector must be recomputed after the OOM"
+        assert released, "the HBM movie cache must be dropped before the retry"
+        # same PRNG key on the retry => bit-identical factorization
+        np.testing.assert_allclose(np.asarray(pmd[:, :, :]), clean, atol=1e-5)
+
+    def test_v_regression_oom_retries_once(self, rng, monkeypatch):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        clean = np.asarray(self._run(movie)[:, :, :])
+
+        released = []
+        loader_cls = self._arm_fake_cache(monkeypatch, released)
+        calls = []
+        real_vproj = loader_cls.v_projection
+
+        def flaky_vproj(self, *a, **k):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+            return real_vproj(self, *a, **k)
+
+        monkeypatch.setattr(loader_cls, "v_projection", flaky_vproj)
+        pmd = self._run(movie)
+        assert len(calls) == 2
+        assert released
+        np.testing.assert_allclose(np.asarray(pmd[:, :, :]), clean, atol=1e-5)
+
+    def test_non_oom_error_propagates(self, rng, monkeypatch):
+        import localmd_tpu.pipeline as pl
+
+        released = []
+        self._arm_fake_cache(monkeypatch, released)
+
+        def broken(*a, **k):
+            raise ValueError("not an OOM")
+
+        monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", broken)
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        with pytest.raises(ValueError, match="not an OOM"):
+            self._run(movie)
+        assert not released
+
+    def test_oom_without_cache_propagates(self, rng, monkeypatch):
+        # No HBM cache to drop => nothing to retry with; the error surfaces.
+        import localmd_tpu.pipeline as pl
+
+        def broken(*a, **k):
+            raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+
+        monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", broken)
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+            self._run(movie)
