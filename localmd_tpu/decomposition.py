@@ -23,8 +23,16 @@ from localmd_tpu.compat import (
 )
 from localmd_tpu.engine import identity, threshold_heuristic
 from localmd_tpu.ops.pooling import downsample_average_pooling
-from localmd_tpu.factorization import compute_lowrank_factorized_svd
-from localmd_tpu.ops.linalg import projected_svd
+from localmd_tpu.factorization import (
+    aggregate_local_and_global_decomposition,
+    compute_lowrank_factorized_svd,
+)
+from localmd_tpu.ops.linalg import (
+    projected_svd,
+    svd_gram_left as fewer_rows_svd_routine,
+    svd_gram_right as fewer_columns_svd_routine,
+)
+from localmd_tpu.utils import display
 from localmd_tpu.ops.roughness import (
     construct_final_fitness_decision,
     filter_by_failures,
@@ -53,4 +61,8 @@ __all__ = [
     "check_fov_size",
     "make_jax_random_key",
     "identity",
+    "display",
+    "aggregate_local_and_global_decomposition",
+    "fewer_rows_svd_routine",
+    "fewer_columns_svd_routine",
 ]

@@ -8,6 +8,10 @@ map-style adapter with the reference's merged-tail chunk semantics
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from localmd_tpu.loader import PMDLoader, standardize_and_filter, _chunk_ranges
@@ -52,11 +56,38 @@ class FrameDataloader:
         return np.asarray(self.dataset[slice(a, b)]).transpose(1, 2, 0)
 
 
+def v_projection_inner_loop(dense_projector, sparse_projector, data):
+    """Reference pmd_loader.py:405-414: ``P @ (U^T @ X)`` — the sparse
+    projector applies first so the dense mix runs on the small rank axis.
+    Accepts dense or BCOO projectors (anything supporting ``@``)."""
+    return dense_projector @ (sparse_projector @ data)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def v_projection_routine(
+    order, dense_projection_term, sparse_projection_term, data, mean_img_r, std_img_r
+):
+    """Reference pmd_loader.py:392-401: flatten a (d1, d2, t) chunk in
+    ``order``, standardize, and regress onto the spatial basis.
+
+    The TPU pipeline itself uses the folded one-matmul variant
+    (:func:`localmd_tpu.loader._v_projection_kernel` / the Pallas
+    ``fused_v_projection``); this shim keeps reference call sites working.
+    """
+    data = jnp.reshape(data, (-1, data.shape[2]), order=order)
+    centered = (data - mean_img_r) / std_img_r
+    return v_projection_inner_loop(
+        dense_projection_term, sparse_projection_term, centered
+    )
+
+
 __all__ = [
     "PMDLoader",
     "FrameDataloader",
     "standardize_and_filter",
     "truncated_random_svd",
+    "v_projection_routine",
+    "v_projection_inner_loop",
     "display",
     "make_jax_random_key",
     "make_key",

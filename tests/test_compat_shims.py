@@ -153,6 +153,7 @@ class TestSubmoduleNamespaces:
             "pmd_loader": [
                 "PMDLoader", "FrameDataloader", "standardize_and_filter",
                 "truncated_random_svd", "display", "make_jax_random_key",
+                "v_projection_routine", "v_projection_inner_loop",
             ],
             "decomposition": [
                 "localmd_decomposition", "single_block_md",
@@ -161,7 +162,9 @@ class TestSubmoduleNamespaces:
                 "downsample_average_pooling", "threshold_heuristic",
                 "truncated_random_svd", "compute_lowrank_factorized_svd",
                 "projected_svd", "identify_window_chunks", "update_block_sizes",
-                "check_fov_size", "make_jax_random_key", "identity",
+                "check_fov_size", "make_jax_random_key", "identity", "display",
+                "aggregate_local_and_global_decomposition",
+                "fewer_rows_svd_routine", "fewer_columns_svd_routine",
             ],
             "pmdarray": ["PMDArray"],
             "diagnostic_plots": [
@@ -237,6 +240,72 @@ class TestSubmoduleNamespaces:
         assert (
             np.linalg.norm(approx - mat) <= np.linalg.norm(best4 - mat) * 1.5
         )
+
+
+class TestGramSvdShims:
+    def test_fewer_rows_svd_routine(self, rng):
+        """Reference decomposition.py:1063-1099: SVD via data @ data.T."""
+        from localmd_tpu.decomposition import fewer_rows_svd_routine
+
+        mat = rng.standard_normal((6, 40)).astype(np.float32)
+        u, s, vt = (np.asarray(x) for x in fewer_rows_svd_routine(jnp.asarray(mat)))
+        assert u.shape == (6, 6) and s.shape == (6,) and vt.shape == (6, 40)
+        s_np = np.linalg.svd(mat, compute_uv=False)
+        np.testing.assert_allclose(s, s_np, rtol=1e-3)
+        np.testing.assert_allclose((u * s) @ vt, mat, atol=1e-3)
+
+    def test_fewer_columns_svd_routine(self, rng):
+        """Reference decomposition.py:1102-1137: SVD via data.T @ data."""
+        from localmd_tpu.decomposition import fewer_columns_svd_routine
+
+        mat = rng.standard_normal((40, 6)).astype(np.float32)
+        u, s, vt = (np.asarray(x) for x in fewer_columns_svd_routine(jnp.asarray(mat)))
+        assert u.shape == (40, 6) and s.shape == (6,) and vt.shape == (6, 6)
+        s_np = np.linalg.svd(mat, compute_uv=False)
+        np.testing.assert_allclose(s, s_np, rtol=1e-3)
+        np.testing.assert_allclose((u * s) @ vt, mat, atol=1e-3)
+
+    def test_aggregate_local_and_global_decomposition(self, rng):
+        """Reference decomposition.py:912-933 semantics at the scipy level."""
+        import scipy.sparse
+
+        from localmd_tpu.decomposition import (
+            aggregate_local_and_global_decomposition,
+        )
+
+        u = scipy.sparse.random(30, 5, density=0.3, format="coo", random_state=1)
+        v = rng.standard_normal((5, 20)).astype(np.float32)
+        bg_s = rng.standard_normal((30, 2)).astype(np.float32)
+        bg_t = rng.standard_normal((2, 20)).astype(np.float32)
+        u_net, v_net = aggregate_local_and_global_decomposition(u, v, bg_s, bg_t)
+        assert u_net.shape == (30, 7) and v_net.shape == (7, 20)
+        np.testing.assert_allclose(
+            u_net.toarray() @ v_net,
+            u.toarray() @ v + bg_s @ bg_t,
+            atol=1e-5,
+        )
+
+    def test_v_projection_routine_reference_semantics(self, rng):
+        """Reference pmd_loader.py:392-414: flatten-in-order, standardize,
+        then P @ (U^T @ X). Checked in both orders against numpy."""
+        from localmd_tpu.pmd_loader import v_projection_routine
+
+        d1, d2, t, r, k = 6, 5, 12, 4, 3
+        chunk = rng.standard_normal((d1, d2, t)).astype(np.float32)
+        ut = rng.standard_normal((r, d1 * d2)).astype(np.float32)
+        p = rng.standard_normal((k, r)).astype(np.float32)
+        mean_r = rng.standard_normal((d1 * d2, 1)).astype(np.float32)
+        std_r = (1 + rng.random((d1 * d2, 1))).astype(np.float32)
+        for order in ("F", "C"):
+            out = np.asarray(
+                v_projection_routine(
+                    order, jnp.asarray(p), jnp.asarray(ut), jnp.asarray(chunk),
+                    jnp.asarray(mean_r), jnp.asarray(std_r),
+                )
+            )
+            flat = chunk.reshape(d1 * d2, t, order=order)
+            expected = p @ (ut @ ((flat - mean_r) / std_r))
+            np.testing.assert_allclose(out, expected, atol=1e-4)
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
