@@ -25,6 +25,7 @@ All pixel flattening is F-order via :mod:`localmd_tpu.ops.tiling` helpers.
 
 from __future__ import annotations
 
+import threading
 from functools import lru_cache as functools_lru_cache, partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -657,6 +658,10 @@ def _threshold_kernel(
 # a seeded make_key) never hits the cache.
 _threshold_cache: dict = {}
 _THRESHOLD_CACHE_MAX = 64
+# Mutations are locked: plane-parallel volumetric runs call
+# threshold_heuristic from several threads (reads stay lock-free — a miss
+# just recomputes).
+_threshold_cache_lock = threading.Lock()
 
 
 def threshold_heuristic(
@@ -705,10 +710,18 @@ def threshold_heuristic(
         if cache_token is not None
         else np.asarray(key).tobytes()
     )
+    # The ambient default device is part of the key too: plane-parallel
+    # volumetric runs pin each plane to its own device, and a cached
+    # device-scalar threshold committed to chip A cannot feed chip B's
+    # block programs.
+    try:
+        device_token = str(jax.config.jax_default_device)
+    except AttributeError:
+        device_token = ""
     cache_key = (
         d1, d2, t, num_comps, n_batches, sim_batch, iters,
         float(percentile_threshold), key_token,
-        precision_token, jax.default_backend(),
+        precision_token, jax.default_backend(), device_token,
     )
     cached = _threshold_cache.get(cache_key)
     if cached is not None:
@@ -718,9 +731,10 @@ def threshold_heuristic(
             key, d1, d2, t, num_comps, n_batches, sim_batch, iters,
             percentile_threshold,
         )
-        if len(_threshold_cache) >= _THRESHOLD_CACHE_MAX:
-            _threshold_cache.pop(next(iter(_threshold_cache)))
-        _threshold_cache[cache_key] = (s_thr, t_thr)
+        with _threshold_cache_lock:
+            if len(_threshold_cache) >= _THRESHOLD_CACHE_MAX:
+                _threshold_cache.pop(next(iter(_threshold_cache)), None)
+            _threshold_cache[cache_key] = (s_thr, t_thr)
     if as_device:
         return s_thr, t_thr
     return float(s_thr), float(t_thr)

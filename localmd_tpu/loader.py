@@ -252,6 +252,7 @@ class PMDLoader:
         cache_movie="auto",
         cache_fraction: float = 0.5,
         cache_reserve_bytes: Optional[int] = None,
+        np_rng=None,
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -299,6 +300,10 @@ class PMDLoader:
         self._cache: Optional[jax.Array] = None
         self._cache_frames = 0
         self._key = make_key(seed)
+        # numpy RNG for background frame sampling: a local RandomState keeps
+        # seeded plane-parallel runs (threads) deterministic; the module
+        # default matches the reference's global-np.random behavior.
+        self._np_rng = np_rng if np_rng is not None else np.random
         # The reference spawns torch DataLoader worker *processes*
         # (pmd_loader.py:155-168); here IO is thread-based, so num_workers
         # maps onto prefetch depth and the native reader's thread count.
@@ -629,7 +634,7 @@ class PMDLoader:
         display("Computing low-rank background basis")
         t_total = self.shape[0]
         n = min(n_samples, t_total)
-        frames = np.sort(np.random.choice(t_total, size=n, replace=False)).tolist()
+        frames = np.sort(self._np_rng.choice(t_total, size=n, replace=False)).tolist()
         self._key, sub = jax.random.split(self._key)
         if self._device_resident:
             # one fused program: gather + standardize + rSVD (eager gather of

@@ -31,6 +31,20 @@ import numpy as np
 from jax import Array
 
 
+def _default_device_token():
+    """Hashable identity of the ambient jax default device (None when unset).
+
+    Used to key per-device caches of uploaded grid constants: volumetric
+    plane-parallel runs place each plane's pipeline on its own device via
+    ``jax.default_device``, and buffers committed to one device cannot feed
+    programs placed on another.
+    """
+    try:
+        return jax.config.jax_default_device
+    except AttributeError:  # config name drift across jax versions
+        return None
+
+
 # ---------------------------------------------------------------------------
 # F-order flatten helpers (single source of truth for pixel ordering)
 # ---------------------------------------------------------------------------
@@ -182,8 +196,17 @@ class BlockGrid:
         Combined with :func:`block_grid` memoization, repeated runs of the
         same configuration skip both grid construction and these host->device
         transfers.
+
+        Cached PER default device: plane-parallel volumetric runs place each
+        plane's pipeline on its own chip via ``jax.default_device``, and a
+        buffer committed to chip A cannot feed a program placed on chip B.
         """
-        cached = getattr(self, "_device_constants", None)
+        cache = getattr(self, "_device_constants", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_device_constants", cache)
+        tok = _default_device_token()
+        cached = cache.get(tok)
         if cached is None:
             w = jnp.asarray(flatten_image(jnp.asarray(self.weights), "F"))
             c = jnp.asarray(
@@ -192,7 +215,7 @@ class BlockGrid:
             r = jnp.asarray(self.rows)
             s = jnp.asarray(self.starts)
             cached = (w, c, r, s)
-            object.__setattr__(self, "_device_constants", cached)
+            cache[tok] = cached
         return cached
 
     def cosets(self):
@@ -256,8 +279,13 @@ class BlockGrid:
         order, inv)`` where ``inv`` maps block id -> row in the
         coset-order concatenation (``concat(ids)[inv] == arange``, used to
         un-permute rmatmul panel results). Uploaded once per grid and
-        cached (like :meth:`device_constants`)."""
-        cached = getattr(self, "_coset_info", None)
+        cached per default device (like :meth:`device_constants`)."""
+        cache = getattr(self, "_coset_info", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_coset_info", cache)
+        tok = _default_device_token()
+        cached = cache.get(tok)
         if cached is None:
             cs = self.cosets()
             concat_ids = np.concatenate([ids for ids, _ in cs])
@@ -271,7 +299,7 @@ class BlockGrid:
                 self.order,
                 jnp.asarray(inv),
             )
-            object.__setattr__(self, "_coset_info", cached)
+            cache[tok] = cached
         return cached
 
 

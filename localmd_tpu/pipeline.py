@@ -48,10 +48,15 @@ from localmd_tpu.utils import display, make_key_with_seed
 
 
 def identify_window_chunks(
-    frame_range: int, total_frames: int, window_chunks: int
+    frame_range: int, total_frames: int, window_chunks: int, np_rng=None
 ) -> list:
     """Sample non-overlapping contiguous chunks of frames for initialization
-    (reference decomposition.py:528-569)."""
+    (reference decomposition.py:528-569).
+
+    ``np_rng``: numpy RandomState/Generator to draw from (defaults to the
+    global ``np.random`` module, matching the reference); the pipeline passes
+    a local RandomState so seeded runs stay deterministic even when several
+    planes run concurrently in threads (volumetric ``devices=``)."""
     if frame_range > total_frames:
         raise ValueError("Requested more frames than available")
     if window_chunks > frame_range:
@@ -61,7 +66,9 @@ def identify_window_chunks(
     available = np.arange(0, total_frames, window_chunks)
     if available[-1] > total_frames - window_chunks:
         available[-1] = total_frames - window_chunks
-    starts = np.sort(np.random.choice(available, size=num_intervals, replace=False))
+    if np_rng is None:
+        np_rng = np.random
+    starts = np.sort(np_rng.choice(available, size=num_intervals, replace=False))
     display(f"sampled from the following regions: {starts}")
 
     net_frames: list = []
@@ -251,8 +258,13 @@ def localmd_decomposition(
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
     if order not in ("F", "C"):
         raise ValueError(f"order must be 'F' or 'C', got {order!r}")
-    if seed is not None:
-        np.random.seed(seed)
+    # Seeded runs draw window samples / background frames from a LOCAL
+    # RandomState (bit-identical stream to the previous global
+    # ``np.random.seed(seed)``: same MT19937, same consumption order) so
+    # concurrent plane-parallel pipelines in threads (volumetric
+    # ``devices=``) stay deterministic; unseeded runs keep the reference's
+    # global-``np.random`` behavior.
+    np_rng = np.random.RandomState(seed) if seed is not None else np.random
     key, effective_seed = make_key_with_seed(seed)
 
     # Content-sensitive arguments must be part of the resume fingerprint:
@@ -303,6 +315,7 @@ def localmd_decomposition(
         precomputed=precomputed or None,
         welch_compat=welch_compat,
         cache_movie=cache_movie,
+        np_rng=np_rng,
         # working set the pipeline needs alongside the HBM movie cache when
         # the runtime reports no memory_stats: the f32 init-frame buffer
         # plus chunk-program workspace
@@ -330,7 +343,7 @@ def localmd_decomposition(
         window_chunks = min(window_chunks, frame_range)
     else:
         window_chunks = min(window_chunks, frame_range)
-        frames = identify_window_chunks(frame_range, t_total, window_chunks)
+        frames = identify_window_chunks(frame_range, t_total, window_chunks, np_rng)
     display(f"Initializing on a total of {len(frames)} frames")
 
     block_sizes = update_block_sizes(tuple(block_sizes), (d1, d2))

@@ -81,13 +81,32 @@ def volumetric_decomposition(
     stack,
     block_sizes,
     frame_range: int,
+    devices=None,
     **kwargs,
 ) -> VolumetricPMD:
     """Run PMD per plane of a volumetric stack.
 
+    Two orthogonal scale-out axes (BASELINE.json config 5, "per-plane PMD
+    sharded across TPU mesh"):
+
+    - ``mesh=`` (forwarded to each plane's pipeline): ONE plane at a time,
+      its block grid and streaming V regression shard_map'd across the mesh
+      — right when planes are large relative to a chip.
+    - ``devices=`` (a list of jax devices): planes round-robin onto devices
+      and run CONCURRENTLY, one host thread per device, zero cross-device
+      traffic — right when there are at least as many planes as chips.
+      Seeded runs stay deterministic (each plane draws from its own local
+      RandomState) and equal the sequential result. Mutually exclusive with
+      ``mesh``.
+
+    With ``checkpoint_path=``, each plane checkpoints independently at
+    ``{checkpoint_path}_plane{z}`` (a shared path would make plane z resume
+    from plane 0's stages: the resume fingerprint covers config, not data).
+
     Args:
         stack: ZStackArray, or a sequence of per-plane (T, d1, d2) movies
             (numpy / jax / PMDDataset each).
+        devices: optional list of jax devices for plane-parallel execution.
         Remaining args as :func:`localmd_tpu.pipeline.localmd_decomposition`.
     """
     if isinstance(stack, ZStackArray):
@@ -96,11 +115,47 @@ def volumetric_decomposition(
         planes = [as_dataset(p) for p in stack]
     else:
         raise TypeError("stack must be a ZStackArray or a sequence of planes")
+    if devices and kwargs.get("mesh") is not None:
+        raise ValueError(
+            "devices= (plane-parallel) and mesh= (block-sharded) are mutually "
+            "exclusive; pick one scale-out axis"
+        )
+
+    base_ckpt = kwargs.pop("checkpoint_path", None)
+
+    def plane_kwargs(z):
+        kw = dict(kwargs)
+        if base_ckpt is not None:
+            kw["checkpoint_path"] = f"{base_ckpt}_plane{z}"
+        return kw
+
+    if devices:
+        import concurrent.futures as _cf
+
+        import jax
+
+        def run_plane(z, plane):
+            dev = devices[z % len(devices)]
+            display(f"Decomposing plane {z + 1}/{len(planes)} on {dev}")
+            with jax.default_device(dev):
+                return localmd_decomposition(
+                    plane, block_sizes, frame_range, **plane_kwargs(z)
+                )
+
+        with _cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
+            futures = [
+                pool.submit(run_plane, z, plane)
+                for z, plane in enumerate(planes)
+            ]
+            results = [f.result() for f in futures]
+        return VolumetricPMD(results)
 
     results = []
     for z, plane in enumerate(planes):
         display(f"Decomposing plane {z + 1}/{len(planes)}")
         results.append(
-            localmd_decomposition(plane, block_sizes, frame_range, **kwargs)
+            localmd_decomposition(
+                plane, block_sizes, frame_range, **plane_kwargs(z)
+            )
         )
     return VolumetricPMD(results)

@@ -49,6 +49,43 @@ def run(workload):
             background_rank=15, temporal_avg_factor=10, sim_iters=250,
             seed=0, rank_prune=True,
         )
+    elif workload == "volumetric":
+        # BASELINE.json config 5: multi-plane stack, per-plane PMD. 8 planes
+        # of 256x256x1024; planes share every compiled program, so the
+        # steady-state per-plane cost is the pipeline's warm time.
+        from localmd_tpu.volumetric import volumetric_decomposition
+
+        d1 = d2 = 256
+        t = 1024
+        n_planes = 8
+        # device-resident planes (same measurement discipline as the other
+        # workloads: decomposition throughput, not tunnel IO)
+        planes = [make_movie(d1, d2, t, seed=z) for z in range(n_planes)]
+        kwargs = dict(
+            block_sizes=(32, 32), frame_range=1024, max_components=20,
+            background_rank=15, temporal_avg_factor=10, sim_iters=250, seed=0,
+        )
+        times = []
+        t0 = time.perf_counter()
+        vol = volumetric_decomposition(planes, **kwargs)
+        cold = time.perf_counter() - t0
+        for p in vol.planes:
+            p.close(materialize=False)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vol = volumetric_decomposition(planes, **kwargs)
+            times.append(time.perf_counter() - t0)
+            for p in vol.planes:
+                p.close(materialize=False)
+        best = min(times)
+        mpfs = n_planes * d1 * d2 * t / best / 1e6
+        print(json.dumps({
+            "workload": workload, "n_planes": n_planes,
+            "mpf_s": round(mpfs, 1), "warm_best_s": round(best, 2),
+            "warm_median_s": round(sorted(times)[len(times) // 2], 2),
+            "cold_s": round(cold, 1),
+        }))
+        return
     else:
         raise SystemExit(f"unknown workload {workload}")
 

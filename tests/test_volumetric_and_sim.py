@@ -71,3 +71,89 @@ class TestVolumetric:
         import os
 
         assert all(os.path.exists(p) for p in paths)
+
+
+class TestVolumetricParallel:
+    """Scale-out paths for BASELINE.json config 5 ("per-plane PMD sharded
+    across TPU mesh"): mesh= block-sharding per plane, devices= plane-level
+    round-robin across chips."""
+
+    KW = dict(
+        frame_range=280, max_components=4, background_rank=1,
+        temporal_avg_factor=4, sim_iters=15, seed=0,
+    )
+
+    def test_devices_round_robin_matches_sequential(self):
+        import jax
+
+        planes = volumetric_stack(n_planes=3, d1=20, d2=20, t=280, seed=11)
+        seq = volumetric_decomposition(planes, (10, 10), **self.KW)
+        par = volumetric_decomposition(
+            planes, (10, 10), devices=jax.devices()[:2], **self.KW
+        )
+        assert par.shape == seq.shape
+        for z in range(3):
+            a = seq.planes[z][:, :, :]
+            b = par.planes[z][:, :, :]
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    def test_mesh_forwarding(self):
+        from localmd_tpu.parallel.mesh import make_mesh
+
+        planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=12)
+        seq = volumetric_decomposition(planes, (10, 10), **self.KW)
+        vol = volumetric_decomposition(
+            planes, (10, 10), mesh=make_mesh(2), **self.KW
+        )
+        assert vol.shape == (280, 2, 20, 20)
+        for z in range(2):
+            np.testing.assert_allclose(
+                seq.planes[z][:, :, :], vol.planes[z][:, :, :],
+                rtol=1e-4, atol=1e-4,
+            )
+
+    def test_devices_and_mesh_mutually_exclusive(self):
+        import jax
+
+        from localmd_tpu.parallel.mesh import make_mesh
+
+        planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=13)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            volumetric_decomposition(
+                planes, (10, 10), devices=jax.devices()[:2],
+                mesh=make_mesh(2), **self.KW
+            )
+
+    def test_per_plane_checkpoints(self, tmp_path):
+        import os
+
+        # Planes with DIFFERENT content but identical shape/config: a shared
+        # checkpoint path would make plane 1 "resume" from plane 0's stages
+        # (the resume fingerprint covers config, not data).
+        planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=14)
+        ck = str(tmp_path / "vol_ck")
+        vol = volumetric_decomposition(planes, (10, 10), checkpoint_path=ck, **self.KW)
+        assert os.path.exists(f"{ck}_plane0.stats.npz")
+        assert os.path.exists(f"{ck}_plane1.stats.npz")
+        # plane results reflect their own data, not plane 0's
+        ref = volumetric_decomposition(planes, (10, 10), **self.KW)
+        for z in range(2):
+            np.testing.assert_allclose(
+                vol.planes[z][:, :, :], ref.planes[z][:, :, :],
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_grid_constants_per_device(self):
+        import jax
+
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        grid = BlockGrid(20, 20, (10, 10), "F")
+        devs = jax.devices()
+        with jax.default_device(devs[0]):
+            w0, _, _, _ = grid.device_constants()
+        with jax.default_device(devs[1]):
+            w1, _, _, _ = grid.device_constants()
+        assert list(w0.devices())[0] == devs[0]
+        assert list(w1.devices())[0] == devs[1]
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
