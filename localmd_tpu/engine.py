@@ -47,6 +47,7 @@ from localmd_tpu.ops.roughness import (
     temporal_roughness_stat,
 )
 from localmd_tpu.ops.tiling import flatten_fov, unflatten_fov
+from localmd_tpu.utils.device import ambient_device
 
 
 def _mm(a: Array, b: Array) -> Array:
@@ -714,10 +715,7 @@ def threshold_heuristic(
     # volumetric runs pin each plane to its own device, and a cached
     # device-scalar threshold committed to chip A cannot feed chip B's
     # block programs.
-    try:
-        device_token = str(jax.config.jax_default_device)
-    except AttributeError:
-        device_token = ""
+    device_token = str(ambient_device())
     cache_key = (
         d1, d2, t, num_comps, n_batches, sim_batch, iters,
         float(percentile_threshold), key_token,

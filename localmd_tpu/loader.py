@@ -45,7 +45,7 @@ from localmd_tpu.dataset import as_dataset
 from localmd_tpu.ops.linalg import truncated_random_svd
 from localmd_tpu.ops.noise import get_mean_and_noise, get_mean_chunk
 from localmd_tpu.ops.tiling import flatten_fov, flatten_image, unflatten_fov
-from localmd_tpu.utils import display, make_key
+from localmd_tpu.utils import ambient_device, display, make_key
 
 MIN_NOISE_FRAMES = 256  # reference pmd_loader.py:203 min_allowed_frames
 STATS_CHUNK_FRAMES = 1024  # reference pmd_loader.py:171 frame_constant
@@ -77,27 +77,56 @@ def _chunk_ranges(
 
 
 def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
-    """Background-thread prefetching iterator over ``load_fn(item)``."""
+    """Background-thread prefetching iterator over ``load_fn(item)``.
+
+    Abandoning the iterator mid-stream (an exception in the consumer loop,
+    e.g. the pipeline's device-OOM retries) must not leak the worker: without
+    a stop signal the thread would block on ``q.put`` forever, pinning its
+    queued + in-flight device chunks in HBM — the very memory the OOM retry
+    is trying to free. Generator close (``finally`` below) sets the stop
+    event and drains the queue, so the worker unblocks, drops its references,
+    and exits.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err_box = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """put honoring stop; False once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in make_items:
-                q.put(load_fn(item))
+                if stop.is_set() or not _put(load_fn(item)):
+                    return
         except BaseException as e:  # surface IO errors in the consumer
             err_box.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     th = threading.Thread(target=worker, daemon=True)
     th.start()
-    while True:
-        got = q.get()
-        if got is sentinel:
-            break
-        yield got
+    try:
+        while True:
+            got = q.get()
+            if got is sentinel:
+                break
+            yield got
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
     if err_box:
         raise err_box[0]
 
@@ -299,6 +328,10 @@ class PMDLoader:
         self._cache_reserve_bytes = int(cache_reserve_bytes or 7.5e9)
         self._cache: Optional[jax.Array] = None
         self._cache_frames = 0
+        # The device this loader's pipeline is pinned to (the thread-local
+        # jax default at construction; None = process default). Prefetch
+        # worker threads and memory budgets must use THIS, not devices()[0].
+        self._device = ambient_device()
         self._key = make_key(seed)
         # numpy RNG for background frame sampling: a local RandomState keeps
         # seeded plane-parallel runs (threads) deterministic; the module
@@ -374,7 +407,10 @@ class PMDLoader:
         per_frame = self.n_pixels * native.itemsize
         budget = None
         try:
-            dev = jax.devices()[0]
+            # the chip THIS pipeline is pinned to (volumetric devices= runs
+            # put each plane on its own chip; chip 0's free memory is then
+            # the wrong number to budget from)
+            dev = self._device if self._device is not None else jax.devices()[0]
             stats = dev.memory_stats()
             if stats and "bytes_limit" in stats:
                 free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
@@ -497,7 +533,11 @@ class PMDLoader:
         def load(rng):
             raw = self._load_raw(slice(rng[0], rng[1]))
             if device_put and not isinstance(raw, jax.Array):
-                raw = jax.device_put(raw)
+                # Explicit target: ``jax.default_device`` is thread-local, so
+                # the prefetch worker thread would otherwise stage every
+                # chunk on the PROCESS default chip — wrong chip (and a
+                # device->device hop) for plane-parallel volumetric runs.
+                raw = jax.device_put(raw, self._device)
             return raw
 
         if prefetch and not self._device_resident:

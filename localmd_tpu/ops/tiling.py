@@ -39,10 +39,9 @@ def _default_device_token():
     ``jax.default_device``, and buffers committed to one device cannot feed
     programs placed on another.
     """
-    try:
-        return jax.config.jax_default_device
-    except AttributeError:  # config name drift across jax versions
-        return None
+    from localmd_tpu.utils.device import ambient_device
+
+    return ambient_device()
 
 
 # ---------------------------------------------------------------------------

@@ -473,7 +473,9 @@ def localmd_decomposition(
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
     budget = int(1e9)
     try:
-        dev = jax.devices()[0]
+        from localmd_tpu.utils import ambient_device_or_first
+
+        dev = ambient_device_or_first()  # the chip this pipeline is pinned to
         stats = dev.memory_stats()
         if stats and "bytes_limit" in stats:
             free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
@@ -690,9 +692,11 @@ def localmd_decomposition(
             if ckpt.has("v"):
                 display("Resuming: V regression loaded from checkpoint")
                 v = jnp.asarray(ckpt.load("v")["v"])
+                v_resumed = True
             else:
                 display("Running streaming V regression over the full movie")
                 v = load_obj.v_projection(u, p, mesh=mesh)
+                v_resumed = False
             _mark("v_regression")
             display("Final SVD reformat")
             r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
@@ -710,7 +714,10 @@ def localmd_decomposition(
                 "re-streaming"
             )
             load_obj.release_cache()
-    ckpt.save("v", v=v)
+    if not v_resumed:
+        # Saving on the resume path would re-pull the full (rank x T) matrix
+        # D2H just to rewrite the identical file.
+        ckpt.save("v", v=v)
     _mark("final_reformat")
     display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
     display(f"Stage timings (s): {timings}")

@@ -1,4 +1,5 @@
 from localmd_tpu.utils.logging import display, get_logger
+from localmd_tpu.utils.device import ambient_device, ambient_device_or_first
 from localmd_tpu.utils.keys import (
     make_key,
     make_key_with_seed,
@@ -9,6 +10,8 @@ from localmd_tpu.utils.keys import (
 __all__ = [
     "display",
     "get_logger",
+    "ambient_device",
+    "ambient_device_or_first",
     "make_key",
     "make_key_with_seed",
     "split_keys",

@@ -134,20 +134,29 @@ def volumetric_decomposition(
 
         import jax
 
-        def run_plane(z, plane):
-            dev = devices[z % len(devices)]
-            display(f"Decomposing plane {z + 1}/{len(planes)} on {dev}")
-            with jax.default_device(dev):
-                return localmd_decomposition(
-                    plane, block_sizes, frame_range, **plane_kwargs(z)
-                )
+        results: list = [None] * len(planes)
+
+        def run_device(k):
+            # One worker thread PER DEVICE, each processing planes k, k+D,
+            # k+2D... sequentially: at most one full pipeline (movie cache +
+            # working set) occupies a chip at a time. A shared FIFO pool
+            # with z % D device picks would let a freed worker start the
+            # next plane on a chip that is still running one (double-booked
+            # HBM) while another chip idles.
+            dev = devices[k]
+            for z in range(k, len(planes), len(devices)):
+                display(f"Decomposing plane {z + 1}/{len(planes)} on {dev}")
+                with jax.default_device(dev):
+                    results[z] = localmd_decomposition(
+                        planes[z], block_sizes, frame_range, **plane_kwargs(z)
+                    )
 
         with _cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
             futures = [
-                pool.submit(run_plane, z, plane)
-                for z, plane in enumerate(planes)
+                pool.submit(run_device, k) for k in range(len(devices))
             ]
-            results = [f.result() for f in futures]
+            for f in futures:
+                f.result()
         return VolumetricPMD(results)
 
     results = []

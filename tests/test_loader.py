@@ -50,6 +50,47 @@ class TestPrefetchIter:
         with pytest.raises(RuntimeError, match="boom"):
             list(_prefetch_iter(range(10), bad))
 
+    def test_abandoned_iterator_stops_worker(self):
+        # An OOM retry abandons the iterator mid-stream; the worker thread
+        # must unblock (it would otherwise sit on q.put forever, pinning its
+        # in-flight device chunks) and stop consuming the source.
+        import time
+
+        produced = []
+
+        def load(i):
+            produced.append(i)
+            return i
+
+        it = _prefetch_iter(range(1000), load, depth=2)
+        assert next(it) == 0
+        it.close()  # what GC does when the consumer loop raises
+        time.sleep(0.5)
+        n = len(produced)
+        assert n < 10  # worker stopped early, not drained the source
+        time.sleep(0.3)
+        assert len(produced) == n  # ...and stays stopped
+
+    def test_prefetch_chunks_pinned_to_ambient_device(self, rng):
+        # The prefetch worker is a new thread, so jax's thread-local default
+        # device does NOT apply inside it; the loader must pin device_put
+        # explicitly or plane-parallel volumetric runs stage every chunk on
+        # chip 0.
+        import jax
+
+        devs = jax.devices()
+        movie = rng.standard_normal((40, 8, 8)).astype(np.float32)
+        with jax.default_device(devs[1]):
+            loader = PMDLoader(
+                movie, background_rank=0, compute_normalizer=False, seed=0
+            )
+            chunks = list(
+                loader._iter_raw_chunks(chunk_frames=10, device_put=True)
+            )
+        assert len(chunks) >= 2
+        for c in chunks:
+            assert list(c.devices())[0] == devs[1]
+
 
 class TestLoaderStatistics:
     def test_mean_and_sigma_on_known_noise(self, rng):
