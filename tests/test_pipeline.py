@@ -1010,6 +1010,57 @@ class TestMultiTenantOOMRetry:
         assert released
         np.testing.assert_allclose(np.asarray(pmd[:, :, :]), clean, atol=1e-5)
 
+    def test_init_load_oom_drops_cache_and_retries(self, rng, monkeypatch):
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        clean = np.asarray(self._run(movie)[:, :, :])
+
+        released = []
+        loader_cls = self._arm_fake_cache(monkeypatch, released)
+        calls = []
+        real_crop = loader_cls.temporal_crop_with_filter
+
+        def flaky_crop(self, *a, **k):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+            return real_crop(self, *a, **k)
+
+        monkeypatch.setattr(loader_cls, "temporal_crop_with_filter", flaky_crop)
+        pmd = self._run(movie)
+        assert len(calls) == 2
+        assert released, "the HBM movie cache must be dropped before the retry"
+        np.testing.assert_allclose(np.asarray(pmd[:, :, :]), clean, atol=1e-5)
+
+    def test_stats_pass_oom_drops_cache_and_retries(self, rng, monkeypatch):
+        # Simulate a neighbor-tenant OOM during the statistics pass while the
+        # HBM movie cache is being built: the loader must drop the cache,
+        # disable the policy, and recompute identical statistics.
+        from localmd_tpu.loader import PMDLoader
+
+        movie = (rng.standard_normal((300, 20, 20)) * 2 + 5).astype(np.float32)
+        clean = PMDLoader(movie, background_rank=1, seed=0, cache_movie=False)
+
+        calls = []
+        real_init = PMDLoader._initialize_normalizers
+
+        def flaky_init(self):
+            calls.append(1)
+            if len(calls) == 1:
+                self._cache_building = True  # mid-build when the OOM lands
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+            return real_init(self)
+
+        monkeypatch.setattr(PMDLoader, "_initialize_normalizers", flaky_init)
+        loader = PMDLoader(movie, background_rank=1, seed=0, cache_movie=True)
+        assert len(calls) == 2
+        assert loader._cache is None and loader._cache_policy is False
+        np.testing.assert_allclose(
+            np.asarray(loader.mean_img), np.asarray(clean.mean_img), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(loader.std_img), np.asarray(clean.std_img), atol=1e-6
+        )
+
     def test_non_oom_error_propagates(self, rng, monkeypatch):
         import localmd_tpu.pipeline as pl
 
