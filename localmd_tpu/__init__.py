@@ -20,6 +20,7 @@ from localmd_tpu.dataset import (
     RawBinaryArray,
     NpyArray,
     ZStackArray,
+    PlaneView,
     as_dataset,
 )
 from localmd_tpu.blocksparse import BlockSparseMatrix
@@ -54,6 +55,7 @@ __all__ = [
     "RawBinaryArray",
     "NpyArray",
     "ZStackArray",
+    "PlaneView",
     "as_dataset",
     "BlockSparseMatrix",
     "PMDLoader",

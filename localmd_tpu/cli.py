@@ -43,6 +43,10 @@ def _add_compress(sub):
                    choices=["scipy", "reference"],
                    help="noise-sigma semantics: documented scipy Welch or "
                         "strict reference-package parity")
+    p.add_argument("--z-planes", type=int, default=None,
+                   help="treat the movie as a plane-interleaved volumetric "
+                        "stack with this many z-planes; decomposes each "
+                        "plane and writes <output>_plane{z}.npz")
     p.add_argument("--no-cache-movie", action="store_true",
                    help="disable the HBM movie cache (default: auto)")
 
@@ -77,9 +81,7 @@ def main(argv=None):
             )
         else:
             dataset = localmd_tpu.as_dataset(args.input)
-        pmd = localmd_tpu.localmd_decomposition(
-            dataset,
-            tuple(args.blocks),
+        kwargs = dict(
             frame_range=args.frame_range,
             max_components=args.max_components,
             background_rank=args.background_rank,
@@ -92,6 +94,29 @@ def main(argv=None):
             matmul_precision=args.matmul_precision,
             welch_compat=args.welch_compat,
             cache_movie=False if args.no_cache_movie else "auto",
+        )
+        if args.z_planes:
+            stack = localmd_tpu.ZStackArray.from_interleaved(
+                dataset, args.z_planes
+            )
+            vol = localmd_tpu.volumetric_decomposition(
+                stack, tuple(args.blocks), **kwargs
+            )
+            prefix = (
+                args.output[: -len(".npz")]
+                if args.output.endswith(".npz")
+                else args.output
+            )
+            paths = vol.save(prefix)
+            print(json.dumps({
+                "outputs": paths,
+                "n_planes": vol.n_planes,
+                "ranks": [p.rank for p in vol.planes],
+                "shape": list(vol.shape),
+            }))
+            return
+        pmd = localmd_tpu.localmd_decomposition(
+            dataset, tuple(args.blocks), **kwargs
         )
         pmd.to_npz(args.output)
         print(json.dumps({

@@ -237,6 +237,78 @@ class ZStackArray:
     def shape(self) -> Tuple[int, int, int, int]:
         return (self.n_planes,) + tuple(self.planes[0].shape)
 
+    @classmethod
+    def from_interleaved(cls, source, n_planes: int) -> "ZStackArray":
+        """Deinterleave a plane-cycling acquisition into a z-stack.
+
+        Volumetric microscopes commonly save one movie whose frames cycle
+        through the z-planes (frame t belongs to plane ``t % n_planes``).
+        Returns a stack of :class:`PlaneView` lazy views — no data is copied;
+        each plane reads only its own frames from the source. When the total
+        frame count is not divisible by ``n_planes`` (a truncated volume
+        cycle at the end of acquisition), every plane is cut to the common
+        ``T // n_planes`` length so the stack stays rectangular.
+        """
+        n_frames = as_dataset(source).shape[0] // n_planes
+        return cls(
+            [PlaneView(source, z, n_planes, n_frames) for z in range(n_planes)]
+        )
+
+
+class PlaneView(PMDDataset):
+    """Lazy view of plane ``z`` of an interleaved (T*Z, d1, d2) source.
+
+    Plane-frame ``t`` maps to source frame ``z + t * n_planes``. The source
+    can be any PMDDataset / ndarray-like; reads stay lazy, so a from-disk
+    TIFF z-stack streams per plane without materializing the whole movie.
+    """
+
+    def __init__(self, source, z: int, n_planes: int, n_frames: int = None):
+        self._source = as_dataset(source)
+        if not 0 <= z < n_planes:
+            raise ValueError(f"plane {z} outside 0..{n_planes - 1}")
+        self._z = int(z)
+        self._n_planes = int(n_planes)
+        t_total = self._source.shape[0]
+        avail = (t_total - self._z + n_planes - 1) // n_planes
+        self._n_frames = int(n_frames) if n_frames is not None else avail
+        if self._n_frames > avail:
+            raise ValueError(
+                f"plane {z} has only {avail} frames, asked for {self._n_frames}"
+            )
+        # native storage dtype passthrough (the loader's HBM movie cache
+        # retains frames in raw dtype when the source exposes one)
+        raw = getattr(self._source, "raw_dtype", None)
+        if raw is not None:
+            self.raw_dtype = raw
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._source.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        _, d1, d2 = self._source.shape
+        return (self._n_frames, d1, d2)
+
+    def _compute_at_indices(self, indices) -> np.ndarray:
+        z, step = self._z, self._n_planes
+        if isinstance(indices, int):
+            global_idx: Union[list, slice] = [z + indices * step]
+        elif isinstance(indices, slice):
+            rng = range(*indices.indices(self.shape[0]))
+            global_idx = [z + i * step for i in rng]
+        else:
+            global_idx = [z + int(i) * step for i in indices]
+        src = self._source
+        if hasattr(src, "_compute_at_indices"):
+            out = np.asarray(src._compute_at_indices(global_idx))
+        else:
+            out = np.asarray(src[global_idx])
+        if out.ndim == 2:  # single frame
+            out = out[None]
+        return out
+
 
 class DeviceMovie:
     """A (T, d1, d2) movie resident in accelerator HBM (a jax.Array).

@@ -129,3 +129,58 @@ class TestCLI:
         with pytest.raises(FileNotFoundError):
             cli_main(["export", str(tmp_path / "nope.npz"),
                       str(tmp_path / "r.npy")])
+
+    def test_z_planes_volumetric(self, tmp_path, rng, capsys):
+        # plane-interleaved stack: frame t belongs to plane t % 2; each
+        # plane carries a DISTINCT smooth low-rank signal so the assertion
+        # below proves plane z's npz reconstructs plane z, not plane 0
+        t_per, d1, d2 = 280, 20, 20
+
+        def smooth_plane():
+            spatial = rng.random((d1, d2, 2))
+            for _ in range(4):
+                spatial = 0.2 * (
+                    spatial + np.roll(spatial, 1, 0) + np.roll(spatial, -1, 0)
+                    + np.roll(spatial, 1, 1) + np.roll(spatial, -1, 1)
+                )
+            temporal = rng.random((2, t_per))
+            for _ in range(3):
+                temporal = 0.5 * temporal + 0.25 * (
+                    np.roll(temporal, 1, 1) + np.roll(temporal, -1, 1)
+                )
+            m = np.tensordot(spatial, temporal, axes=(2, 0)).transpose(2, 0, 1)
+            return (m * 2000).astype(np.uint16)
+
+        planes = [smooth_plane() for _ in range(2)]
+        interleaved = np.empty((2 * t_per, d1, d2), np.uint16)
+        interleaved[0::2] = planes[0]
+        interleaved[1::2] = planes[1]
+        raw = str(tmp_path / "stack.bin")
+        interleaved.tofile(raw)
+
+        out = str(tmp_path / "vol.npz")
+        cli_main([
+            "compress", raw, out, "--blocks", "10", "10",
+            "--frame-range", "280", "--max-components", "4",
+            "--background-rank", "1", "--temporal-avg-factor", "4",
+            "--seed", "0", "--z-planes", "2",
+            "--raw-shape", str(2 * t_per), str(d1), str(d2),
+            "--raw-dtype", "uint16",
+        ])
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res["n_planes"] == 2
+        assert res["shape"] == [t_per, 2, d1, d2]
+        assert len(res["outputs"]) == 2
+        # each plane npz loads standalone and reconstructs ITS OWN plane
+        from localmd_tpu import PMDArray
+
+        for z, path in enumerate(res["outputs"]):
+            pmd = PMDArray.from_npz(path)
+            assert pmd.shape == (t_per, d1, d2)
+            rec = pmd[0:20]
+            own = planes[z][0:20].astype(np.float32)
+            other = planes[1 - z][0:20].astype(np.float32)
+            rel_own = np.linalg.norm(rec - own) / np.linalg.norm(own)
+            rel_other = np.linalg.norm(rec - other) / np.linalg.norm(other)
+            assert rel_own < 0.2, (z, rel_own)
+            assert rel_own < rel_other, (z, rel_own, rel_other)

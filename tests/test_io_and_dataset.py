@@ -274,3 +274,62 @@ class TestCompressedTiff:
             f.write(bytes(data))
         with pytest.raises(ValueError, match="compression 7"):
             TiffReader(path)
+
+
+class TestPlaneView:
+    """Lazy deinterleaving of plane-cycling acquisitions (frame t -> plane
+    t % Z), feeding volumetric decomposition without copying the movie."""
+
+    def test_deinterleave_matches_numpy_striding(self, rng):
+        from localmd_tpu.dataset import PlaneView, ZStackArray
+
+        t_total, d1, d2, z_n = 23, 6, 5, 3  # deliberately not divisible
+        movie = rng.standard_normal((t_total, d1, d2)).astype(np.float32)
+        stack = ZStackArray.from_interleaved(movie, z_n)
+        assert stack.n_planes == z_n
+        for z in range(z_n):
+            # ragged tail truncated to the common T // Z length
+            expect = movie[z::z_n][: t_total // z_n]
+            view = stack.planes[z]
+            assert view.shape == expect.shape
+            np.testing.assert_array_equal(view[0:4], expect[0:4])
+            np.testing.assert_array_equal(view[[0, 2]], expect[[0, 2]])
+            np.testing.assert_array_equal(
+                np.asarray(view[1]), expect[1]
+            )
+            # spatial post-indexing via the PMDDataset protocol
+            np.testing.assert_array_equal(
+                view[0:3, 1:4, 2], expect[0:3, 1:4, 2]
+            )
+
+    def test_raw_dtype_passthrough_and_bounds(self, tmp_path, rng):
+        from localmd_tpu.dataset import PlaneView, RawBinaryArray
+
+        movie = (rng.random((20, 4, 4)) * 1000).astype(np.uint16)
+        path = str(tmp_path / "m.bin")
+        movie.tofile(path)
+        src = RawBinaryArray(path, (20, 4, 4), dtype="uint16")
+        view = PlaneView(src, 1, 2)
+        assert view.shape == (10, 4, 4)
+        if hasattr(src, "raw_dtype"):
+            assert view.raw_dtype == src.raw_dtype
+        np.testing.assert_array_equal(view[0:10], movie[1::2].astype(view.dtype))
+        with pytest.raises(ValueError):
+            PlaneView(src, 2, 2)
+
+    def test_plane_view_drives_pipeline(self, rng):
+        from localmd_tpu.dataset import ZStackArray
+        from localmd_tpu.volumetric import volumetric_decomposition
+
+        t_per, z_n = 280, 2
+        planes = [
+            (rng.standard_normal((t_per, 20, 20)) + 3).astype(np.float32)
+            for _ in range(z_n)
+        ]
+        inter = np.stack(planes, axis=1).reshape(t_per * z_n, 20, 20)
+        vol = volumetric_decomposition(
+            ZStackArray.from_interleaved(inter, z_n), (10, 10),
+            frame_range=t_per, max_components=3, background_rank=1,
+            temporal_avg_factor=4, sim_iters=10, seed=0,
+        )
+        assert vol.shape == (t_per, z_n, 20, 20)
