@@ -95,6 +95,8 @@ def main(argv=None):
             welch_compat=args.welch_compat,
             cache_movie=False if args.no_cache_movie else "auto",
         )
+        if args.z_planes is not None and args.z_planes < 1:
+            raise SystemExit(f"--z-planes must be >= 1, got {args.z_planes}")
         if args.z_planes:
             stack = localmd_tpu.ZStackArray.from_interleaved(
                 dataset, args.z_planes

@@ -249,9 +249,25 @@ class ZStackArray:
         cycle at the end of acquisition), every plane is cut to the common
         ``T // n_planes`` length so the stack stays rectangular.
         """
-        n_frames = as_dataset(source).shape[0] // n_planes
+        if n_planes < 1:
+            raise ValueError(f"n_planes must be >= 1, got {n_planes}")
+        src = as_dataset(source)  # once: path inputs parse/open a single reader
+        t_total = src.shape[0]
+        if t_total < n_planes:
+            raise ValueError(
+                f"movie has {t_total} frames, fewer than n_planes={n_planes}"
+            )
+        n_frames = t_total // n_planes
+        if isinstance(src, DeviceMovie):
+            # keep device residency: strided device slices, no D2H round trip
+            return cls(
+                [
+                    DeviceMovie(src._array[z::n_planes][:n_frames])
+                    for z in range(n_planes)
+                ]
+            )
         return cls(
-            [PlaneView(source, z, n_planes, n_frames) for z in range(n_planes)]
+            [PlaneView(src, z, n_planes, n_frames) for z in range(n_planes)]
         )
 
 
@@ -291,15 +307,36 @@ class PlaneView(PMDDataset):
         _, d1, d2 = self._source.shape
         return (self._n_frames, d1, d2)
 
+    def set_io_threads(self, n: int) -> None:
+        """Forward the IO thread budget to the wrapped source reader."""
+        if hasattr(self._source, "set_io_threads"):
+            self._source.set_io_threads(n)
+
+    def _plane_index(self, i: int) -> int:
+        """Normalize one plane-frame index against THIS view's length.
+
+        Negative indices must wrap against ``n_frames`` (not the source
+        length — with a ragged tail ``-1`` would otherwise land on another
+        plane's frame), and out-of-range indices must raise like every
+        other PMDDataset rather than silently reading past the declared
+        temporal extent.
+        """
+        i0 = int(i)
+        i = i0 + self._n_frames if i0 < 0 else i0
+        if not 0 <= i < self._n_frames:
+            raise IndexError(
+                f"frame {i0} out of range for plane with {self._n_frames} frames"
+            )
+        return self._z + i * self._n_planes
+
     def _compute_at_indices(self, indices) -> np.ndarray:
-        z, step = self._z, self._n_planes
         if isinstance(indices, int):
-            global_idx: Union[list, slice] = [z + indices * step]
+            global_idx: Union[list, slice] = [self._plane_index(indices)]
         elif isinstance(indices, slice):
             rng = range(*indices.indices(self.shape[0]))
-            global_idx = [z + i * step for i in rng]
+            global_idx = [self._z + i * self._n_planes for i in rng]
         else:
-            global_idx = [z + int(i) * step for i in indices]
+            global_idx = [self._plane_index(i) for i in indices]
         src = self._source
         if hasattr(src, "_compute_at_indices"):
             out = np.asarray(src._compute_at_indices(global_idx))

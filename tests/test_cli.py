@@ -130,6 +130,13 @@ class TestCLI:
             cli_main(["export", str(tmp_path / "nope.npz"),
                       str(tmp_path / "r.npy")])
 
+        # --z-planes 0 must error, not silently run non-volumetric
+        some = str(tmp_path / "some.bin")
+        np.zeros(10 * 20 * 20, np.uint16).tofile(some)
+        with pytest.raises(SystemExit):
+            cli_main(["compress", some, str(tmp_path / "o.npz"),
+                      "--raw-shape", "10", "20", "20", "--z-planes", "0"])
+
     def test_z_planes_volumetric(self, tmp_path, rng, capsys):
         # plane-interleaved stack: frame t belongs to plane t % 2; each
         # plane carries a DISTINCT smooth low-rank signal so the assertion

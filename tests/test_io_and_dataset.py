@@ -317,6 +317,70 @@ class TestPlaneView:
         with pytest.raises(ValueError):
             PlaneView(src, 2, 2)
 
+    def test_negative_and_oob_indices_stay_on_plane(self, rng):
+        """Negative indices wrap against the VIEW length (with a ragged tail,
+        wrapping against the source length would cross onto another plane);
+        indices past the declared extent raise instead of silently reading
+        the truncated tail."""
+        from localmd_tpu.dataset import ZStackArray
+
+        t_total, z_n = 23, 3
+        movie = rng.standard_normal((t_total, 4, 4)).astype(np.float32)
+        stack = ZStackArray.from_interleaved(movie, z_n)
+        n = t_total // z_n  # 7
+        for z in range(z_n):
+            view = stack.planes[z]
+            expect = movie[z::z_n][:n]
+            np.testing.assert_array_equal(np.asarray(view[-1]), expect[-1])
+            np.testing.assert_array_equal(view[[0, -1]], expect[[0, -1]])
+            with pytest.raises(IndexError):
+                view[n]
+            with pytest.raises(IndexError):
+                view[[0, n]]
+            with pytest.raises(IndexError):
+                view[-n - 1]
+
+    def test_from_interleaved_validates_n_planes(self, rng):
+        from localmd_tpu.dataset import ZStackArray
+
+        movie = rng.standard_normal((5, 4, 4)).astype(np.float32)
+        with pytest.raises(ValueError):
+            ZStackArray.from_interleaved(movie, 0)
+        with pytest.raises(ValueError):
+            ZStackArray.from_interleaved(movie, -2)
+        with pytest.raises(ValueError):
+            ZStackArray.from_interleaved(movie, 8)  # more planes than frames
+
+    def test_from_interleaved_shares_one_source(self, tmp_path, rng):
+        """A path input is opened/parsed once; every plane shares the reader."""
+        from localmd_tpu.dataset import ZStackArray
+        from localmd_tpu.io.tiff import write_tiff
+
+        movie = (rng.random((12, 6, 6)) * 1000).astype(np.uint16)
+        path = str(tmp_path / "inter.tif")
+        write_tiff(path, movie)
+        stack = ZStackArray.from_interleaved(path, 3)
+        srcs = {id(p._source) for p in stack.planes}
+        assert len(srcs) == 1
+        np.testing.assert_array_equal(
+            stack.planes[1][0:4], movie[1::3][:4].astype(stack.planes[1].dtype)
+        )
+
+    def test_from_interleaved_device_source_stays_on_device(self, rng):
+        """A jax.Array source deinterleaves into DeviceMovie planes (strided
+        device slices) — no D2H pull, loader keeps the zero-transfer path."""
+        import jax.numpy as jnp
+
+        from localmd_tpu.dataset import DeviceMovie, ZStackArray
+
+        movie = jnp.asarray(rng.standard_normal((10, 4, 4)).astype(np.float32))
+        stack = ZStackArray.from_interleaved(movie, 2)
+        for z, plane in enumerate(stack.planes):
+            assert isinstance(plane, DeviceMovie)
+            np.testing.assert_array_equal(
+                np.asarray(plane[0:5]), np.asarray(movie)[z::2]
+            )
+
     def test_plane_view_drives_pipeline(self, rng):
         from localmd_tpu.dataset import ZStackArray
         from localmd_tpu.volumetric import volumetric_decomposition
