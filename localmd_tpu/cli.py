@@ -75,6 +75,9 @@ def main(argv=None):
     if args.cmd == "compress":
         import localmd_tpu
 
+        # validate before any (possibly expensive) dataset construction
+        if args.z_planes is not None and args.z_planes < 1:
+            raise SystemExit(f"--z-planes must be >= 1, got {args.z_planes}")
         if args.raw_shape:
             dataset = localmd_tpu.RawBinaryArray(
                 args.input, tuple(args.raw_shape), dtype=args.raw_dtype
@@ -95,12 +98,15 @@ def main(argv=None):
             welch_compat=args.welch_compat,
             cache_movie=False if args.no_cache_movie else "auto",
         )
-        if args.z_planes is not None and args.z_planes < 1:
-            raise SystemExit(f"--z-planes must be >= 1, got {args.z_planes}")
         if args.z_planes:
-            stack = localmd_tpu.ZStackArray.from_interleaved(
-                dataset, args.z_planes
-            )
+            try:
+                stack = localmd_tpu.ZStackArray.from_interleaved(
+                    dataset, args.z_planes
+                )
+            except ValueError as e:
+                # e.g. --z-planes larger than the frame count: a clean CLI
+                # error, not a raw traceback
+                raise SystemExit(str(e)) from e
             vol = localmd_tpu.volumetric_decomposition(
                 stack, tuple(args.blocks), **kwargs
             )

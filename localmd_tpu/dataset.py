@@ -378,8 +378,19 @@ class DeviceMovie:
     def __getitem__(self, item):
         import jax.numpy as jnp
 
-        if isinstance(item, (list, np.ndarray)):
-            return self._array[jnp.asarray(np.asarray(item))]
+        if isinstance(item, (list, np.ndarray, range)):
+            idx = np.asarray(item)
+            # jnp gather silently CLAMPS out-of-range indices (e.g.
+            # movie[[0, T]] would return frame T-1); bounds-check on the
+            # host first so DeviceMovie raises IndexError exactly like
+            # PMDDataset/PlaneView — plane semantics must not depend on
+            # whether the source was host- or device-resident.
+            t = int(self._array.shape[0])
+            if idx.size and (int(idx.min()) < -t or int(idx.max()) >= t):
+                raise IndexError(
+                    f"frame indices out of bounds for movie with {t} frames"
+                )
+            return self._array[jnp.asarray(idx)]
         return self._array[item]
 
 

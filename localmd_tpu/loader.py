@@ -45,7 +45,7 @@ from localmd_tpu.dataset import as_dataset
 from localmd_tpu.ops.linalg import truncated_random_svd
 from localmd_tpu.ops.noise import get_mean_and_noise, get_mean_chunk
 from localmd_tpu.ops.tiling import flatten_fov, flatten_image, unflatten_fov
-from localmd_tpu.utils import ambient_device, display, make_key
+from localmd_tpu.utils import ambient_device, display, is_device_oom, make_key
 
 MIN_NOISE_FRAMES = 256  # reference pmd_loader.py:203 min_allowed_frames
 STATS_CHUNK_FRAMES = 1024  # reference pmd_loader.py:171 frame_constant
@@ -572,7 +572,7 @@ class PMDLoader:
                     self._cache is not None
                     or getattr(self, "_cache_building", False)
                 )
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt or not cache_was_up:
+                if not is_device_oom(e) or attempt or not cache_was_up:
                     raise
                 display(
                     "WARNING: statistics pass hit device OOM (multi-tenant "

@@ -44,7 +44,7 @@ from localmd_tpu.ops.tiling import (
     update_block_sizes,
 )
 from localmd_tpu.pmd_array import PMDArray
-from localmd_tpu.utils import display, make_key_with_seed
+from localmd_tpu.utils import display, is_device_oom, make_key_with_seed
 
 
 def identify_window_chunks(
@@ -394,7 +394,7 @@ def localmd_decomposition(
             # buffer, drop it and retry: a smaller cache win is better than
             # a dead run (the fallback budget is an estimate on runtimes
             # that report no memory_stats).
-            if "RESOURCE_EXHAUSTED" not in str(e) or load_obj._cache is None:
+            if not is_device_oom(e) or load_obj._cache is None:
                 raise
             display("WARNING: init-frame load hit device OOM; retrying without the movie cache")
             load_obj.release_cache()
@@ -591,7 +591,7 @@ def localmd_decomposition(
                 # probe and execution. Halve the batch and redo the stage
                 # (results are per-block, so a rerun is exact, and the PRNG
                 # keys are pre-split per block — same seed, same sketches).
-                if "RESOURCE_EXHAUSTED" not in str(e):
+                if not is_device_oom(e):
                     raise
                 new_bb = max(16, bb // 2)
                 if mesh is not None:
@@ -703,7 +703,7 @@ def localmd_decomposition(
             break
         except Exception as e:  # pragma: no cover - hardware OOM path
             if (
-                "RESOURCE_EXHAUSTED" not in str(e)
+                not is_device_oom(e)
                 or getattr(load_obj, "_cache", None) is None
                 or attempt
             ):

@@ -1,5 +1,9 @@
 from localmd_tpu.utils.logging import display, get_logger
-from localmd_tpu.utils.device import ambient_device, ambient_device_or_first
+from localmd_tpu.utils.device import (
+    ambient_device,
+    ambient_device_or_first,
+    is_device_oom,
+)
 from localmd_tpu.utils.keys import (
     make_key,
     make_key_with_seed,
@@ -12,6 +16,7 @@ __all__ = [
     "get_logger",
     "ambient_device",
     "ambient_device_or_first",
+    "is_device_oom",
     "make_key",
     "make_key_with_seed",
     "split_keys",

@@ -137,6 +137,12 @@ class TestCLI:
             cli_main(["compress", some, str(tmp_path / "o.npz"),
                       "--raw-shape", "10", "20", "20", "--z-planes", "0"])
 
+        # --z-planes exceeding the frame count must be a clean CLI error
+        # carrying the from_interleaved message, not a raw ValueError
+        with pytest.raises(SystemExit, match="fewer than n_planes"):
+            cli_main(["compress", some, str(tmp_path / "o.npz"),
+                      "--raw-shape", "10", "20", "20", "--z-planes", "11"])
+
     def test_z_planes_volumetric(self, tmp_path, rng, capsys):
         # plane-interleaved stack: frame t belongs to plane t % 2; each
         # plane carries a DISTINCT smooth low-rank signal so the assertion

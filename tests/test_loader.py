@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -185,6 +186,19 @@ class TestDeviceMovie:
         np.testing.assert_allclose(np.asarray(dm[3:7]), movie[3:7])
         np.testing.assert_allclose(np.asarray(dm[[1, 5, 9]]), movie[[1, 5, 9]])
 
+    def test_list_indices_bounds_checked(self, rng):
+        # jnp gather would silently clamp dm[[0, 50]] to frame 49; the
+        # dataset contract (PMDDataset/PlaneView) is IndexError — device
+        # residency must not change plane semantics (ADVICE r3)
+        movie = rng.standard_normal((50, 8, 6)).astype(np.float32)
+        dm = DeviceMovie(jnp.asarray(movie))
+        with pytest.raises(IndexError):
+            dm[[0, 50]]
+        with pytest.raises(IndexError):
+            dm[np.array([-51])]
+        # in-range negatives keep numpy semantics
+        np.testing.assert_allclose(np.asarray(dm[[-1]]), movie[[-1]])
+
     def test_loader_zero_copy_pipeline(self, rng):
         movie = rng.standard_normal((400, 16, 12)).astype(np.float32) + 5
         loader = PMDLoader(jnp.asarray(movie), background_rank=1, seed=0)
@@ -366,7 +380,7 @@ class TestStatsPassOOMRetry:
         def flaky(chunk, t_total):
             calls["n"] += 1
             if calls["n"] == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
             return real(chunk, t_total)
 
         monkeypatch.setattr(loader_mod, "get_mean_and_noise", flaky)
@@ -388,7 +402,7 @@ class TestStatsPassOOMRetry:
         movie = self._make(rng)
 
         def dead(chunk, t_total):
-            raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
 
         monkeypatch.setattr(loader_mod, "get_mean_and_noise", dead)
         with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):

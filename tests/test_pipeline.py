@@ -546,7 +546,7 @@ class TestBlockStageOOMRetry:
         def flaky_step(*args, **kwargs):
             calls["n"] += 1
             if calls["n"] == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
             return real_step(*args, **kwargs)
 
         monkeypatch.setattr(pipeline_mod.engine, "window0_chunk_step", flaky_step)
@@ -577,7 +577,7 @@ class TestBlockStageOOMRetry:
         def flaky_step(mesh_arg, data, starts, keys, *args, **kwargs):
             seen_batches.append(int(starts.shape[0]))
             if len(seen_batches) == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
             return real_step(mesh_arg, data, starts, keys, *args, **kwargs)
 
         # the pipeline imports this symbol at call time, so patching the
@@ -615,7 +615,7 @@ class TestVPhaseOOMRetry:
             calls["n"] += 1
             if calls["n"] == 1:
                 assert self._cache is not None  # cache held when the OOM hits
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
             assert self._cache is None  # retry runs with the cache released
             return real_vproj(self, u, p, mesh=mesh)
 
@@ -632,7 +632,7 @@ class TestVPhaseOOMRetry:
         movie = make_low_rank_movie(2, (300, 24, 24), rng, noise=0.1)
 
         def dead_vproj(self, u, p, mesh=None):
-            raise RuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake neighbor burst")
 
         monkeypatch.setattr(PMDLoader, "v_projection", dead_vproj)
         with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
@@ -979,7 +979,7 @@ class TestMultiTenantOOMRetry:
         def flaky(*a, **k):
             calls.append(1)
             if len(calls) == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
             return real(*a, **k)
 
         monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", flaky)
@@ -1001,7 +1001,7 @@ class TestMultiTenantOOMRetry:
         def flaky_vproj(self, *a, **k):
             calls.append(1)
             if len(calls) == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
             return real_vproj(self, *a, **k)
 
         monkeypatch.setattr(loader_cls, "v_projection", flaky_vproj)
@@ -1022,7 +1022,7 @@ class TestMultiTenantOOMRetry:
         def flaky_crop(self, *a, **k):
             calls.append(1)
             if len(calls) == 1:
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
             return real_crop(self, *a, **k)
 
         monkeypatch.setattr(loader_cls, "temporal_crop_with_filter", flaky_crop)
@@ -1047,7 +1047,7 @@ class TestMultiTenantOOMRetry:
             calls.append(1)
             if len(calls) == 1:
                 self._cache_building = True  # mid-build when the OOM lands
-                raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+                raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
             return real_init(self)
 
         monkeypatch.setattr(PMDLoader, "_initialize_normalizers", flaky_init)
@@ -1081,9 +1081,51 @@ class TestMultiTenantOOMRetry:
         import localmd_tpu.pipeline as pl
 
         def broken(*a, **k):
-            raise RuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: fake multi-tenant OOM")
 
         monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", broken)
         movie = make_low_rank_movie(3, (300, 24, 24), rng)
         with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
             self._run(movie)
+
+    def test_non_oom_runtime_error_not_retried(self, rng, monkeypatch):
+        # A typed runtime error WITHOUT the RESOURCE_EXHAUSTED status code
+        # (e.g. INTERNAL, a real compile bug) must never be mistaken for an
+        # OOM: retrying would hide genuine failures behind a slower rerun.
+        import localmd_tpu.pipeline as pl
+
+        released = []
+        self._arm_fake_cache(monkeypatch, released)
+        calls = []
+
+        def broken(*a, **k):
+            calls.append(1)
+            raise jax.errors.JaxRuntimeError("INTERNAL: compiler assertion")
+
+        monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", broken)
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        with pytest.raises(jax.errors.JaxRuntimeError, match="INTERNAL"):
+            self._run(movie)
+        assert len(calls) == 1, "non-OOM runtime errors must not be retried"
+        assert not released
+
+    def test_untyped_oom_text_not_retried(self, rng, monkeypatch):
+        # The retry scopes key on the TYPED runtime error, not message text:
+        # an exception that merely quotes RESOURCE_EXHAUSTED (e.g. a user
+        # denoiser logging a past failure) must propagate on the first raise.
+        import localmd_tpu.pipeline as pl
+
+        released = []
+        self._arm_fake_cache(monkeypatch, released)
+        calls = []
+
+        def broken(*a, **k):
+            calls.append(1)
+            raise RuntimeError("RESOURCE_EXHAUSTED mentioned in a user error")
+
+        monkeypatch.setattr(pl, "compute_lowrank_factorized_svd", broken)
+        movie = make_low_rank_movie(3, (300, 24, 24), rng)
+        with pytest.raises(RuntimeError, match="user error"):
+            self._run(movie)
+        assert len(calls) == 1
+        assert not released
