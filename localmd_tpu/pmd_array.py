@@ -23,6 +23,7 @@ TPU-native additions:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -32,6 +33,45 @@ import scipy.sparse
 
 from localmd_tpu.blocksparse import BlockSparseMatrix
 from localmd_tpu.ops.tiling import unflatten_fov
+
+
+# Per-chunk canvas budget for device-side slicing: bounds the (h, w, f)
+# ROI reconstruction buffer so pmd[:, :, :] of an arbitrarily long movie
+# streams through HBM in bounded pieces instead of materializing
+# d1*d2*T*4 bytes at once.
+_SLICE_CANVAS_BUDGET_BYTES = 256 << 20
+
+
+@partial(jax.jit, static_argnames=("b1", "b2", "h", "w"))
+def _roi_reconstruct(
+    panels_sub, t_sub, starts_rel, bg_rows, bg_t, *, b1, b2, h, w
+):
+    """Standardized reconstruction of an (h, w) ROI from the blocks that
+    intersect it: batched panel matmul -> scatter-add placement (indices
+    outside the ROI are dropped), plus the dense background term.
+
+    panels_sub: (k, p, S) intersecting block panels (p = b1*b2, F-order rows)
+    t_sub:      (k, S, f) their temporal slices
+    starts_rel: (k, 2) block origins RELATIVE to the ROI origin (may be
+                negative / extend past the ROI — mode="drop" crops them)
+    bg_rows:    (h*w, K) background basis rows for the ROI (K may be 0)
+    bg_t:       (K, f) background temporal block
+    """
+    contrib = jnp.matmul(panels_sub, t_sub, preferred_element_type=jnp.float32)
+    f = contrib.shape[-1]
+    # F-order panel row r = i + j*b1 -> image axes (i, j)
+    img = contrib.reshape(-1, b2, b1, f).transpose(0, 2, 1, 3)  # (k,b1,b2,f)
+    rr = starts_rel[:, 0, None] + jnp.arange(b1)[None, :]       # (k, b1)
+    cc = starts_rel[:, 1, None] + jnp.arange(b2)[None, :]       # (k, b2)
+    # mode="drop" only drops indices >= size; NEGATIVE indices still wrap
+    # (verified on jax 0.9), so rows/cols before the ROI origin must be
+    # remapped to an out-of-bounds sentinel to be dropped too
+    rr = jnp.where(rr < 0, h, rr)
+    cc = jnp.where(cc < 0, w, cc)
+    canvas = jnp.zeros((h, w, f), jnp.float32)
+    canvas = canvas.at[rr[:, :, None], cc[:, None, :]].add(img, mode="drop")
+    bg = jnp.matmul(bg_rows, bg_t, preferred_element_type=jnp.float32)
+    return canvas + bg.reshape(h, w, f)
 
 
 class PMDArray:
@@ -268,6 +308,145 @@ class PMDArray:
             img = img + unflatten_fov(bg_flat, self.fov_dim1, self.fov_dim2, self.order)
         return img
 
+    # -- device slicing (north-star path) ---------------------------------------
+
+    def _device_temporal(self, frame_idx) -> jnp.ndarray:
+        """(R_padded, f) = (R * s) V[:, frame_idx], computed on the fly —
+        unlike ``reconstruct_frames``'s full-T cache, slicing never
+        materializes the (R_padded, T) product (multi-GB for long movies)."""
+        rp = jnp.asarray(self._r_padded)
+        s = jnp.asarray(self._s_src)
+        v = jnp.asarray(self._v_src)
+        return jnp.matmul(
+            rp * s[None, :],
+            v[:, jnp.asarray(frame_idx)],
+            preferred_element_type=jnp.float32,
+        )
+
+    def _normalize_key3(self, key):
+        """Split a __getitem__ key into (frames, k1, k2) with the reference's
+        validation (key order [frames, dim1, dim2], reference pmdarray.py:132)."""
+        if len(key) > 3:
+            raise ValueError("Too many indices in __getitem__")
+        frames = key[0]
+        k1 = key[1] if len(key) > 1 else slice(None)
+        k2 = key[2] if len(key) > 2 else slice(None)
+        if frames is None or k1 is None or k2 is None:
+            raise ValueError("Cannot use None for indexing")
+        return frames, k1, k2
+
+    def _slice_device_chunk(self, used_rows, frame_idx) -> jnp.ndarray:
+        """Standardized (no mean/std) device reconstruction of the pixels in
+        ``used_rows`` (host int array, any shape, global flat ids in
+        ``self.order``) for ``frame_idx`` frames -> (*used_rows.shape, f)."""
+        u = self._blocksparse
+        temporal = self._device_temporal(frame_idx)           # (R_padded, f)
+        nb = u.n_block_cols
+        f = int(np.asarray(frame_idx).size)
+
+        if u.starts is None or u.block_shape is None:
+            # no geometry (hand-built U): full-FOV blocked matmul, then gather
+            flat = u.matmul(temporal)                         # (n_pixels, f)
+            out = flat[jnp.asarray(used_rows.reshape(-1))]
+            return out.reshape(used_rows.shape + (f,))
+
+        b1, b2 = u.block_shape
+        if getattr(self, "_starts_host", None) is None:
+            self._starts_host = np.asarray(u.starts)
+        starts_host = self._starts_host
+        d1, d2 = self.fov_dim1, self.fov_dim2
+        if self.order == "F":
+            r = used_rows % d1
+            c = used_rows // d1
+        else:
+            r = used_rows // d2
+            c = used_rows % d2
+        r0, r1 = int(r.min()), int(r.max()) + 1
+        c0, c1 = int(c.min()), int(c.max()) + 1
+        h, w = r1 - r0, c1 - c0
+
+        hit = np.nonzero(
+            (starts_host[:, 0] < r1) & (starts_host[:, 0] + b1 > r0)
+            & (starts_host[:, 1] < c1) & (starts_host[:, 1] + b2 > c0)
+        )[0]
+        hit_dev = jnp.asarray(hit)
+        t_blocks = temporal[:nb].reshape(u.n_blocks, u.slots, f)
+        ids = self.row_indices[r0:r1, c0:c1].reshape(-1)      # C-order, = canvas layout
+        k_bg = int(u.dense_basis.shape[1])
+        if k_bg:
+            bg_rows = u.dense_basis[jnp.asarray(ids)]
+            bg_t = temporal[nb:]
+        else:
+            bg_rows = jnp.zeros((h * w, 0), jnp.float32)
+            bg_t = jnp.zeros((0, f), jnp.float32)
+        canvas = _roi_reconstruct(
+            jnp.take(u.panels, hit_dev, axis=0),
+            jnp.take(t_blocks, hit_dev, axis=0),
+            jnp.take(u.starts, hit_dev, axis=0) - jnp.array([r0, c0]),
+            bg_rows, bg_t, b1=b1, b2=b2, h=h, w=w,
+        )
+        rel = (r - r0) * w + (c - c0)
+        out = canvas.reshape(h * w, f)[jnp.asarray(rel.reshape(-1))]
+        return out.reshape(used_rows.shape + (f,))
+
+    def _getitem_device(self, key) -> np.ndarray:
+        """Reference slicing semantics executed ON DEVICE: only the blocks
+        intersecting the requested ROI are touched (batched panel matmul +
+        placement — never the CSR export, BASELINE north star). Index
+        normalization (fancy pairing, slices, negatives, bounds errors) is
+        done with numpy on the tiny ``row_indices`` grid, so the semantics
+        are numpy's own, identical to the host path."""
+        frames, k1, k2 = self._normalize_key3(key)
+        k1 = self._parse_int_to_list(k1)
+        k2 = self._parse_int_to_list(k2)
+        used_rows = np.asarray(self.row_indices[k1, k2])
+        mean_used = self.mean_img[k1, k2]
+        var_used = self.var_img[k1, k2]
+        frame_idx = np.atleast_1d(
+            np.arange(self.num_frames)[self._parse_int_to_list(frames)]
+        )
+        n_f = int(frame_idx.size)
+        out_shape = (n_f,) + used_rows.shape
+        if used_rows.size == 0 or n_f == 0:
+            return np.zeros(out_shape, dtype=np.float32)
+
+        # chunk the frame axis: bound the ROI canvas (h*w*f floats) so full-
+        # movie slices of long recordings never blow HBM
+        roi_pixels = max(1, int(used_rows.size))
+        per_chunk = max(1, _SLICE_CANVAS_BUDGET_BYTES // (4 * roi_pixels))
+        var_dev = jnp.asarray(np.asarray(var_used, dtype=np.float32))[..., None]
+        mean_dev = jnp.asarray(np.asarray(mean_used, dtype=np.float32))[..., None]
+        parts = []
+        for s in range(0, n_f, per_chunk):
+            std = self._slice_device_chunk(used_rows, frame_idx[s : s + per_chunk])
+            parts.append(np.asarray(jnp.moveaxis(std * var_dev + mean_dev, -1, 0)))
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+    def slice_device(self, *key) -> jnp.ndarray:
+        """Device-resident slicing: like ``pmd[frames, rows, cols]`` but
+        returns a jax Array (frames-first, un-squeezed) and requires the
+        device factors to still be live (before ``close()``)."""
+        if self._blocksparse is None:
+            raise RuntimeError(
+                "slice_device needs the device factors; this PMDArray was "
+                "built from host factors or already closed — use __getitem__"
+            )
+        frames, k1, k2 = self._normalize_key3(key)
+        k1 = self._parse_int_to_list(k1)
+        k2 = self._parse_int_to_list(k2)
+        used_rows = np.asarray(self.row_indices[k1, k2])
+        var_dev = jnp.asarray(
+            np.asarray(self.var_img[k1, k2], dtype=np.float32)
+        )[..., None]
+        mean_dev = jnp.asarray(
+            np.asarray(self.mean_img[k1, k2], dtype=np.float32)
+        )[..., None]
+        frame_idx = np.atleast_1d(
+            np.arange(self.num_frames)[self._parse_int_to_list(frames)]
+        )
+        std = self._slice_device_chunk(used_rows, frame_idx)
+        return jnp.moveaxis(std * var_dev + mean_dev, -1, 0)
+
     # -- host slicing (reference semantics) ------------------------------------
 
     def _parse_int_to_list(self, elt):
@@ -322,6 +501,11 @@ class PMDArray:
             raise ValueError("Cannot use None for indexing")
         if not isinstance(key, tuple):
             key = (key,)
+        if self._blocksparse is not None:
+            # device factors live: slice on-chip (no CSR materialization,
+            # no multi-GB D2H pull — BASELINE north star). Host path only
+            # for scipy/npz-built or already-closed arrays.
+            return self._getitem_device(key).squeeze().astype(self.dtype)
         return self._getitem_host(key).squeeze().astype(self.dtype)
 
     # -- resource management ----------------------------------------------------
@@ -364,6 +548,7 @@ class PMDArray:
                 _ = self.var_img
         self._combined_temporal_dev = None
         self._panels_c = None
+        self._starts_host = None
         self._r_padded = None
 
         # drop the DEVICE references (keeping them would pin their HBM);

@@ -167,6 +167,99 @@ class TestPMDArraySemantics:
         assert expected_keys <= set(data.keys())
 
 
+class TestDeviceSlicing:
+    """PMDArray slicing executes on-chip for pipeline-built arrays: gather
+    the blocks intersecting the ROI, batched panel matmul, crop — never the
+    CSR export (BASELINE north star)."""
+
+    KEYS = [
+        (5,),
+        (slice(2, 9),),
+        ([3, 7, 11],),
+        (5, slice(3, 17), slice(4, 20)),          # interior ROI
+        (slice(None), slice(None), slice(None)),  # full movie
+        ([0, -1], [2, 5], [3, 7]),                # elementwise fancy pairing
+        (slice(0, 10), 7),                        # 2-key (ref latent bug)
+        (-1, -3, -5),                             # negative ints
+        (slice(None), slice(10, 11), slice(None)),
+        (np.arange(0, 300, 37), slice(0, 5), [0, 1, 2]),
+    ]
+
+    @pytest.fixture(scope="class")
+    def pmd(self):
+        rng = np.random.default_rng(5)
+        movie = make_low_rank_movie(4, (300, 30, 26), rng)
+        out = localmd_decomposition(
+            movie, (14, 12), frame_range=300, max_components=8,
+            background_rank=2, temporal_avg_factor=4, sim_iters=30, seed=0,
+        )
+        assert out._blocksparse is not None
+        return out
+
+    def test_device_path_matches_host_and_never_builds_csr(self, pmd, monkeypatch):
+        from localmd_tpu.pmd_array import PMDArray
+
+        calls = []
+        orig = PMDArray._ensure_csr
+
+        def spy(self_):
+            calls.append(1)
+            return orig(self_)
+
+        monkeypatch.setattr(PMDArray, "_ensure_csr", spy)
+        dev = [pmd[k if len(k) > 1 else k[0]] for k in self.KEYS]
+        assert not calls, "device slicing must never materialize the CSR"
+        monkeypatch.setattr(PMDArray, "_ensure_csr", orig)
+
+        # force the host CSR path by hiding the device factors
+        bs = pmd._blocksparse
+        pmd.u, pmd.r  # materialize host factors first
+        pmd._blocksparse = None
+        try:
+            host = [pmd[k if len(k) > 1 else k[0]] for k in self.KEYS]
+        finally:
+            pmd._blocksparse = bs
+        for k, d, h in zip(self.KEYS, dev, host):
+            assert d.shape == h.shape, k
+            np.testing.assert_allclose(d, h, atol=1e-4, err_msg=str(k))
+
+    def test_error_parity(self, pmd):
+        with pytest.raises(ValueError):
+            pmd[None]
+        with pytest.raises(ValueError):
+            pmd[0, None]
+        with pytest.raises(ValueError):
+            pmd[0, 0, 0, 0]
+        with pytest.raises(IndexError):
+            pmd[0, 999, 0]
+
+    def test_slice_device_returns_jax_array(self, pmd):
+        import jax
+
+        out = pmd.slice_device(slice(0, 3), slice(2, 8), slice(1, 9))
+        assert isinstance(out, jax.Array)
+        assert out.shape == (3, 6, 8)
+        np.testing.assert_allclose(
+            np.asarray(out), pmd[0:3, 2:8, 1:9], atol=1e-5
+        )
+
+    def test_frame_chunked_slice_matches(self, pmd, monkeypatch):
+        # shrink the canvas budget so a full-movie slice takes the
+        # multi-chunk path, and check the seams are invisible
+        import localmd_tpu.pmd_array as pa
+
+        full = pmd[:, 0:8, 0:6]
+        monkeypatch.setattr(
+            pa, "_SLICE_CANVAS_BUDGET_BYTES", 8 * 6 * 4 * 32
+        )
+        chunked = pmd[:, 0:8, 0:6]
+        np.testing.assert_allclose(chunked, full, atol=1e-6)
+
+    def test_empty_selection(self, pmd):
+        out = pmd[[], 0:5, 0:5]
+        assert out.shape == (0, 5, 5) or out.size == 0
+
+
 class TestFactorizedSVD:
     def test_scipy_sparse_input_matches_dense_svd(self, rng):
         # public API accepts reference-style scipy matrices
