@@ -5,9 +5,13 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from localmd_tpu.cli import main as cli_main
 from localmd_tpu.io.tiff import write_tiff
+
+# subprocess + full compress runs: quick lane skips this module (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 class TestCLI:

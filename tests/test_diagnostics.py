@@ -13,6 +13,9 @@ from localmd_tpu.diagnostics import (
     plot_pmd_components,
 )
 
+# pipeline-driven QC figure generation: quick lane skips this module (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def _corr(t1, t2):
     t1 = t1 - t1.mean()

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from localmd_tpu.engine import (
     pack_components,
@@ -175,6 +176,7 @@ class TestWindowedPMD:
         np.testing.assert_allclose(u.T @ u, np.eye(6), atol=1e-3)
 
 
+@pytest.mark.slow
 class TestStragglerFallback:
     """The windowed loop's zero-count fallback re-runs the full two-stage
     kernel on a COMPACTED fixed-capacity subset (not the whole batch).
@@ -283,6 +285,7 @@ class TestThresholdHeuristic:
         b = threshold_heuristic((12, 12, 80), iters=32, key=jax.random.PRNGKey(1))
         assert a == b
 
+    @pytest.mark.slow
     def test_memoized_per_key(self, monkeypatch):
         # Same (config, key) -> kernel runs once; different key -> runs again.
         from localmd_tpu import engine as eng
@@ -315,6 +318,7 @@ class TestThresholdHeuristic:
 
 
 class TestFusedSteps:
+    @pytest.mark.slow
     def test_window0_chunk_step_equals_separate_calls(self, rng):
         import jax
         import jax.numpy as jnp
@@ -340,6 +344,7 @@ class TestFusedSteps:
         np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_ref))
         np.testing.assert_allclose(np.asarray(v_fit), np.asarray(v_ref), atol=1e-3)
 
+    @pytest.mark.slow
     def test_window0_t_used_crops_time(self, rng):
         import jax
         import jax.numpy as jnp

@@ -138,6 +138,7 @@ class TestCompressedTiff:
     tifffile-readable movie (reference dataset.py:169-181); scanners commonly
     emit LZW or Deflate multipage stacks."""
 
+    @pytest.mark.slow
     def test_lzw_codec_roundtrip(self, rng):
         for data in [
             b"",
@@ -381,6 +382,7 @@ class TestPlaneView:
                 np.asarray(plane[0:5]), np.asarray(movie)[z::2]
             )
 
+    @pytest.mark.slow
     def test_plane_view_drives_pipeline(self, rng):
         from localmd_tpu.dataset import ZStackArray
         from localmd_tpu.volumetric import volumetric_decomposition

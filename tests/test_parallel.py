@@ -10,11 +10,16 @@ from localmd_tpu.blocksparse import BlockSparseMatrix
 from localmd_tpu.engine import single_block_md_batched
 from localmd_tpu.ops.tiling import BlockGrid, extract_patches, flatten_fov, flatten_image
 from localmd_tpu.parallel.mesh import make_mesh
+import pytest
+
 from localmd_tpu.parallel.sharded import (
     sharded_block_decomposition,
     sharded_gram_quadratic,
     sharded_v_projection_chunk,
 )
+
+# 8-device mesh end-to-end comparisons: quick lane skips this module (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 
 def _make_blocksparse(rng, grid, slots=4):

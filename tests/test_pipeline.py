@@ -17,6 +17,9 @@ from localmd_tpu.factorization import compute_lowrank_factorized_svd
 
 from conftest import make_low_rank_movie
 
+# End-to-end pipeline runs (20-60 s each): quick lane skips this module (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 class TestDecompositionEndToEnd:
     @pytest.mark.parametrize("block_size", [(16, 16), (20, 24)])

@@ -14,10 +14,15 @@ import pytest
 
 REFERENCE_PATH = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE_PATH, "localmd")),
-    reason="reference implementation not available",
-)
+# full-pipeline parity vs the reference package: quick lane skips this
+# module (pytest -m 'not slow')
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE_PATH, "localmd")),
+        reason="reference implementation not available",
+    ),
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

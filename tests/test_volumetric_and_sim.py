@@ -9,6 +9,9 @@ from localmd_tpu.sim import (
 )
 from localmd_tpu.volumetric import VolumetricPMD, volumetric_decomposition
 
+# multi-plane pipeline runs: quick lane skips this module (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 class TestSim:
     def test_two_photon_shapes_and_stats(self):
