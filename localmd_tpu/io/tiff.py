@@ -502,11 +502,19 @@ def write_tiff_stream(
     shape: Tuple[int, int, int],
     dtype,
     rows_per_strip: int = 0,
+    bigtiff: Optional[bool] = None,
 ) -> None:
     """Streaming variant of :func:`write_tiff`: consumes an ITERATOR of
     (H, W) frames so a movie larger than RAM can be exported chunk by chunk
     (the uncompressed layout is fully determined by shape/dtype, so all IFDs
-    are emitted up front and frame data appended as produced)."""
+    are emitted up front and frame data appended as produced).
+
+    ``bigtiff``: None (default) auto-selects — classic TIFF while every
+    offset fits 32 bits, BigTIFF (version 43, 8-byte offsets) once the
+    projected file exceeds 4 GB (classic offsets would silently overflow:
+    a 512x512x30k float32 export is 31 GB). True/False forces the format;
+    forcing classic on a >4 GB layout raises instead of corrupting.
+    """
     t, h, w = shape
     dt = np.dtype(dtype).newbyteorder("<")
     kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
@@ -518,16 +526,55 @@ def write_tiff_stream(
     frame_bytes = h * w * dt.itemsize
 
     n_entries = 8
-    ifd_size = 2 + n_entries * 12 + 4
-    # out-of-line arrays (strip offsets/counts) needed when n_strips > 1
-    extra_per_page = (8 * n_strips) if n_strips > 1 else 0
+    if bigtiff is None:
+        # projected classic layout: if its final byte passes 2^32 any strip
+        # offset near the tail would overflow the 4-byte fields
+        ifd_c = 2 + n_entries * 12 + 4
+        extra_c = (8 * n_strips) if n_strips > 1 else 0
+        projected = 8 + t * (ifd_c + extra_c) + t * frame_bytes
+        bigtiff = projected > 0xFFFFFFFF
+
+    if bigtiff:
+        header_size = 16
+        ifd_size = 8 + n_entries * 20 + 8
+        # out-of-line LONG8 strip offset/count arrays when n_strips > 1
+        extra_per_page = (16 * n_strips) if n_strips > 1 else 0
+        off_type, off_word = 16, "Q"  # LONG8
+    else:
+        header_size = 8
+        ifd_size = 2 + n_entries * 12 + 4
+        extra_per_page = (8 * n_strips) if n_strips > 1 else 0
+        off_type, off_word = 4, "I"  # LONG
 
     with open(filename, "wb") as f:
-        f.write(b"II*\x00")
-        first_ifd = 8
-        f.write(struct.pack("<I", first_ifd))
+        first_ifd = header_size
+        if bigtiff:
+            f.write(b"II+\x00" + struct.pack("<HHQ", 8, 0, first_ifd))
+        else:
+            f.write(b"II*\x00" + struct.pack("<I", first_ifd))
         arrays_start = first_ifd + t * ifd_size
         data_start = arrays_start + t * extra_per_page
+        if not bigtiff and data_start + t * frame_bytes > 0xFFFFFFFF:
+            raise ValueError(
+                "classic TIFF cannot address a "
+                f"{data_start + t * frame_bytes} byte file; pass "
+                "bigtiff=True (or bigtiff=None for auto-selection)"
+            )
+
+        if bigtiff:
+
+            def entry(tag, type_id, count, value):
+                f.write(struct.pack("<HHQQ", tag, type_id, count, value))
+
+        else:
+
+            def entry(tag, type_id, count, value):
+                f.write(struct.pack("<HHI", tag, type_id, count))
+                if type_id == 3:
+                    f.write(struct.pack("<HH", value, 0))
+                else:
+                    f.write(struct.pack("<I", value))
+
         for k in range(t):
             ifd_off = first_ifd + k * ifd_size
             page_data = data_start + k * frame_bytes
@@ -538,14 +585,10 @@ def write_tiff_stream(
                 acc += sb
             next_ifd = first_ifd + (k + 1) * ifd_size if k + 1 < t else 0
             assert f.tell() == ifd_off
-            f.write(struct.pack("<H", n_entries))
-
-            def entry(tag, type_id, count, value):
-                f.write(struct.pack("<HHI", tag, type_id, count))
-                if type_id == 3:
-                    f.write(struct.pack("<HH", value, 0))
-                else:
-                    f.write(struct.pack("<I", value))
+            if bigtiff:
+                f.write(struct.pack("<Q", n_entries))
+            else:
+                f.write(struct.pack("<H", n_entries))
 
             arr_off = arrays_start + k * extra_per_page
             entry(_TAG_IMAGE_WIDTH, 4, 1, w)
@@ -553,16 +596,19 @@ def write_tiff_stream(
             entry(_TAG_BITS_PER_SAMPLE, 3, 1, bits)
             entry(_TAG_COMPRESSION, 3, 1, 1)
             if n_strips > 1:
-                entry(_TAG_STRIP_OFFSETS, 4, n_strips, arr_off)
+                entry(_TAG_STRIP_OFFSETS, off_type, n_strips, arr_off)
             else:
-                entry(_TAG_STRIP_OFFSETS, 4, 1, offsets[0])
+                entry(_TAG_STRIP_OFFSETS, off_type, 1, offsets[0])
             entry(_TAG_ROWS_PER_STRIP, 4, 1, rps)
             if n_strips > 1:
-                entry(_TAG_STRIP_BYTE_COUNTS, 4, n_strips, arr_off + 4 * n_strips)
+                entry(
+                    _TAG_STRIP_BYTE_COUNTS, off_type, n_strips,
+                    arr_off + dt_itemsize_of(off_word) * n_strips,
+                )
             else:
-                entry(_TAG_STRIP_BYTE_COUNTS, 4, 1, strip_bytes[0])
+                entry(_TAG_STRIP_BYTE_COUNTS, off_type, 1, strip_bytes[0])
             entry(_TAG_SAMPLE_FORMAT, 3, 1, kind)
-            f.write(struct.pack("<I", next_ifd))
+            f.write(struct.pack("<Q" if bigtiff else "<I", next_ifd))
         if n_strips > 1:
             for k in range(t):
                 page_data = data_start + k * frame_bytes
@@ -571,8 +617,8 @@ def write_tiff_stream(
                 for sb in strip_bytes:
                     offsets.append(page_data + acc)
                     acc += sb
-                f.write(struct.pack("<" + "I" * n_strips, *offsets))
-                f.write(struct.pack("<" + "I" * n_strips, *strip_bytes))
+                f.write(struct.pack("<" + off_word * n_strips, *offsets))
+                f.write(struct.pack("<" + off_word * n_strips, *strip_bytes))
         n_written = 0
         for frame in frames:
             frame = np.asarray(frame)
@@ -582,6 +628,10 @@ def write_tiff_stream(
             n_written += 1
         if n_written != t:
             raise ValueError(f"iterator yielded {n_written} frames, expected {t}")
+
+
+def dt_itemsize_of(word: str) -> int:
+    return struct.calcsize("<" + word)
 
 
 # ---------------------------------------------------------------------------

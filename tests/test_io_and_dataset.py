@@ -1,3 +1,4 @@
+import os
 import struct
 
 import numpy as np
@@ -12,6 +13,7 @@ from localmd_tpu.io.tiff import (
     _packbits_encode,
     write_tiff,
     write_tiff_compressed,
+    write_tiff_stream,
 )
 
 
@@ -131,6 +133,79 @@ class TestMultiStripTiff:
         write_tiff(path, movie, rows_per_strip=7)
         arr = TiffArray(path)
         np.testing.assert_allclose(arr[[0, 3]], movie[[0, 3]].astype(np.float32))
+
+
+class TestBigTiffWriter:
+    """write_tiff_stream auto-switches to BigTIFF (version 43, 8-byte
+    offsets) past 4 GB; classic offsets would silently overflow (a
+    512x512x30k f32 export is 31 GB)."""
+
+    def test_forced_bigtiff_roundtrip(self, tmp_path, rng):
+        movie = (rng.random((7, 33, 29)) * 1000).astype(np.uint16)
+        path = str(tmp_path / "bt.tif")
+        write_tiff_stream(path, iter(movie), movie.shape, movie.dtype,
+                          bigtiff=True)
+        reader = TiffReader(path)
+        assert reader._big
+        np.testing.assert_array_equal(reader.read_frames(range(7)), movie)
+        reader.close()
+
+    def test_forced_bigtiff_multistrip_roundtrip(self, tmp_path, rng):
+        movie = (rng.random((5, 33, 21)) * 1000).astype(np.uint16)
+        path = str(tmp_path / "btms.tif")
+        write_tiff_stream(path, iter(movie), movie.shape, movie.dtype,
+                          rows_per_strip=8, bigtiff=True)
+        reader = TiffReader(path)
+        assert reader._big and len(reader.pages[0].strip_offsets) == 5
+        np.testing.assert_array_equal(reader.read_frames(range(5)), movie)
+        reader.close()
+
+    def test_small_files_stay_classic(self, tmp_path, rng):
+        movie = (rng.random((4, 16, 10)) * 100).astype(np.uint16)
+        path = str(tmp_path / "c.tif")
+        write_tiff_stream(path, iter(movie), movie.shape, movie.dtype)
+        with open(path, "rb") as f:
+            assert f.read(4) == b"II*\x00"
+
+    def test_auto_selects_bigtiff_for_huge_layout(self, tmp_path):
+        # the format decision happens before any frame is consumed, so the
+        # BigTIFF header can be checked without writing 31 GB: an empty
+        # iterator fails the frame-count check AFTER the IFDs are emitted
+        path = str(tmp_path / "huge.tif")
+        with pytest.raises(ValueError, match="yielded 0 frames"):
+            write_tiff_stream(path, iter([]), (30000, 512, 512), np.float32)
+        with open(path, "rb") as f:
+            assert f.read(4) == b"II+\x00"  # BigTIFF magic
+
+    def test_forcing_classic_on_huge_layout_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="classic TIFF cannot address"):
+            write_tiff_stream(str(tmp_path / "x.tif"), iter([]),
+                              (30000, 512, 512), np.float32, bigtiff=False)
+
+    @pytest.mark.slow
+    def test_real_4gb_export_reads_back(self, tmp_path):
+        # an actual >4 GB file: the tail page's strip offset exceeds 2^32
+        # and the native reader decodes it (offset-math end-to-end)
+        t, h, w = 4400, 1024, 512  # 4.6 GB of uint16 payload
+        base = (np.arange(h * w, dtype=np.uint32).reshape(h, w)
+                % 50000).astype(np.uint16)
+
+        def gen():
+            for k in range(t):
+                yield base + (k % 1000)
+
+        path = str(tmp_path / "big.tif")
+        write_tiff_stream(path, gen(), (t, h, w), np.uint16)
+        assert os.path.getsize(path) > (1 << 32)
+        reader = TiffReader(path)
+        assert reader._big
+        assert reader.pages[-1].strip_offsets[0] > 0xFFFFFFFF
+        np.testing.assert_array_equal(
+            reader.read_frames([0, t // 2, t - 1]),
+            np.stack([base + (i % 1000) for i in (0, t // 2, t - 1)]),
+        )
+        reader.close()
+        os.remove(path)
 
 
 class TestCompressedTiff:
