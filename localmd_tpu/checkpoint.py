@@ -63,3 +63,29 @@ class PipelineCheckpoint:
         tmp = self._stage_path(stage) + ".tmp.npz"
         np.savez_compressed(tmp, __fingerprint__=self.fingerprint, **host)
         os.replace(tmp, self._stage_path(stage))
+
+    def matching_stages(self, prefix: str) -> list:
+        """Names of existing stages starting with ``prefix`` whose
+        fingerprint matches the current config (used for sub-stage parts,
+        e.g. per-batch block checkpoints ``blocks.part*``)."""
+        if self.path is None:
+            return []
+        import glob
+
+        out = []
+        for p in glob.glob(self._stage_path(prefix + "*")):
+            if p.endswith(".tmp.npz"):
+                continue
+            stage = p[len(self.path) + 1 : -len(".npz")]
+            if self.has(stage):
+                out.append(stage)
+        return sorted(out)
+
+    def discard(self, stage: str) -> None:
+        """Remove a stage file (e.g. sub-stage parts once the full stage is
+        persisted)."""
+        if self.path is None:
+            return
+        p = self._stage_path(stage)
+        if os.path.exists(p):
+            os.remove(p)

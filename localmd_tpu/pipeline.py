@@ -516,6 +516,57 @@ def localmd_decomposition(
         temporal_basis_crop = jnp.asarray(loaded["temporal_basis_crop"])
         bb = 0  # skip the stage below
 
+    def _dispatch_batch(idx_padded):
+        """Run one padded batch of block ids (need not be contiguous) through
+        the compiled chunk program; returns the WindowedPMDResult."""
+        starts_batch = jnp.asarray(starts_host[idx_padded])
+        keys_batch = jnp.asarray(
+            block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
+        )
+        if single_window:
+            # Default path: the whole chunk pipeline (gather -> decompose
+            # -> filter/pack -> project) is ONE compiled program; with a
+            # mesh it is shard_map'd over the block axis (data parallel).
+            if mesh is not None:
+                from localmd_tpu.parallel.sharded import (
+                    sharded_window0_chunk_step,
+                )
+
+                acc_c, counts_c, v_c = sharded_window0_chunk_step(
+                    mesh, data_crop, starts_batch, keys_batch, b1, b2,
+                    max_components, temporal_avg_factor, spatial_avg_factor,
+                    spatial_threshold, temporal_threshold,
+                    max_consecutive_failures, sden, tden,
+                    t_used=crop_avg_constant,
+                )
+            else:
+                acc_c, counts_c, v_c = engine.window0_chunk_step(
+                    data_crop, starts_batch, keys_batch, b1, b2,
+                    max_components, temporal_avg_factor, spatial_avg_factor,
+                    spatial_threshold, temporal_threshold,
+                    max_consecutive_failures, sden, tden,
+                    crop_avg_constant,
+                )
+            return engine.WindowedPMDResult(acc_c, counts_c, v_c)
+        # Multi-window incremental-basis path: one compiled program
+        # per chunk (device-side early-stop); with a mesh the block
+        # axis is shard_map'd (see parallel.sharded.sharded_windowed_pmd).
+        patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
+        return windowed_pmd_batched(
+            patch_batch,
+            keys_batch,
+            window_len,
+            max_components,
+            spatial_threshold,
+            temporal_threshold,
+            max_consecutive_failures,
+            temporal_avg_factor,
+            spatial_avg_factor,
+            sden,
+            tden,
+            mesh=mesh,
+        )
+
     def _run_block_stage(bb):
         panels_chunks, counts_chunks, temporal_chunks = [], [], []
         for s in range(0, n_blocks, bb):
@@ -524,54 +575,7 @@ def localmd_decomposition(
             idx_padded = (
                 np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
             )
-            starts_batch = jnp.asarray(starts_host[idx_padded])
-            keys_batch = jnp.asarray(
-                block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
-            )
-            if single_window:
-                # Default path: the whole chunk pipeline (gather -> decompose
-                # -> filter/pack -> project) is ONE compiled program; with a
-                # mesh it is shard_map'd over the block axis (data parallel).
-                if mesh is not None:
-                    from localmd_tpu.parallel.sharded import (
-                        sharded_window0_chunk_step,
-                    )
-
-                    acc_c, counts_c, v_c = sharded_window0_chunk_step(
-                        mesh, data_crop, starts_batch, keys_batch, b1, b2,
-                        max_components, temporal_avg_factor, spatial_avg_factor,
-                        spatial_threshold, temporal_threshold,
-                        max_consecutive_failures, sden, tden,
-                        t_used=crop_avg_constant,
-                    )
-                else:
-                    acc_c, counts_c, v_c = engine.window0_chunk_step(
-                        data_crop, starts_batch, keys_batch, b1, b2,
-                        max_components, temporal_avg_factor, spatial_avg_factor,
-                        spatial_threshold, temporal_threshold,
-                        max_consecutive_failures, sden, tden,
-                        crop_avg_constant,
-                    )
-                result = engine.WindowedPMDResult(acc_c, counts_c, v_c)
-            else:
-                # Multi-window incremental-basis path: one compiled program
-                # per chunk (device-side early-stop); with a mesh the block
-                # axis is shard_map'd (see parallel.sharded.sharded_windowed_pmd).
-                patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
-                result = windowed_pmd_batched(
-                    patch_batch,
-                    keys_batch,
-                    window_len,
-                    max_components,
-                    spatial_threshold,
-                    temporal_threshold,
-                    max_consecutive_failures,
-                    temporal_avg_factor,
-                    spatial_avg_factor,
-                    sden,
-                    tden,
-                    mesh=mesh,
-                )
+            result = _dispatch_batch(idx_padded)
             sl = slice(0, len(idx))
             panels_chunks.append(result.spatial[sl])
             counts_chunks.append(result.counts[sl])
@@ -581,10 +585,64 @@ def localmd_decomposition(
         v_blocks = jnp.concatenate(temporal_chunks, axis=0)  # (N, S, T_crop)
         return panels, counts, v_blocks
 
+    def _run_block_stage_checkpointed(bb):
+        """Per-BATCH checkpointing (the stage is hours for large FOVs, and
+        batches are its natural unit): every finished batch persists its
+        panels/counts/v slices with the block ids it covered under the run
+        fingerprint, and a rerun recomputes ONLY the missing blocks — the
+        batch dispatch takes arbitrary id lists, and the PRNG keys are
+        pre-split per GLOBAL block id, so any partition of the remaining
+        work is bit-identical to an undisturbed run."""
+        parts = []  # (ids, panels_np, counts_np, v_np)
+        for st in ckpt.matching_stages("blocks.part"):
+            d = ckpt.load(st)
+            parts.append((d["idx"], d["panels"], d["counts"], d["v_blocks"]))
+        done = (
+            np.concatenate([p[0] for p in parts])
+            if parts
+            else np.empty(0, np.int64)
+        )
+        missing = np.setdiff1d(np.arange(n_blocks), done)
+        if done.size:
+            display(
+                f"Resuming block stage: {n_blocks - missing.size}/{n_blocks} "
+                "blocks from per-batch checkpoints"
+            )
+        for s in range(0, missing.size, bb):
+            idx = missing[s : s + bb]
+            pad = bb - len(idx)
+            idx_padded = (
+                np.concatenate([idx, np.zeros(pad, dtype=int)]) if pad else idx
+            )
+            result = _dispatch_batch(idx_padded)
+            sl = slice(0, len(idx))
+            part = (
+                np.asarray(idx),
+                np.asarray(result.spatial[sl]),
+                np.asarray(result.counts[sl]),
+                np.asarray(result.temporal[sl]),
+            )
+            ckpt.save(
+                f"blocks.part{int(idx[0]):06d}",
+                idx=part[0], panels=part[1], counts=part[2], v_blocks=part[3],
+            )
+            parts.append(part)
+        all_idx = np.concatenate([p[0] for p in parts])
+        order = np.argsort(all_idx)
+        panels = jnp.asarray(np.concatenate([p[1] for p in parts])[order])
+        counts = np.concatenate([p[2] for p in parts])[order]
+        v_blocks = jnp.asarray(np.concatenate([p[3] for p in parts])[order])
+        return panels, counts, v_blocks
+
     if not blocks_ckpt:
+        stage_fn = (
+            _run_block_stage_checkpointed
+            if checkpoint_path is not None
+            else _run_block_stage
+        )
         while True:
             try:
-                panels, counts, v_blocks = _run_block_stage(bb)
+                panels, counts, v_blocks = stage_fn(bb)
                 break
             except Exception as e:  # noqa: BLE001
                 # Multi-tenant TPUs: free HBM can shrink between the budget
@@ -613,6 +671,9 @@ def localmd_decomposition(
             v_blocks=v_blocks,
             temporal_basis_crop=temporal_basis_crop,
         )
+        # the whole-stage checkpoint above supersedes the per-batch parts
+        for st in ckpt.matching_stages("blocks.part"):
+            ckpt.discard(st)
         # The filtered init movie is movie-sized HBM; everything after this
         # point works from the panels/temporal fits, and the streaming V pass
         # needs that HBM back (a 1024^2 x 1024 f32 movie is ~4.3 GB).

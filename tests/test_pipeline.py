@@ -339,6 +339,60 @@ class TestCheckpointResume:
         np.testing.assert_allclose(second.s, first.s, rtol=1e-5)
         np.testing.assert_allclose(second[7], first[7], atol=1e-4)
 
+    def test_kill_mid_block_stage_resumes_per_batch(self, rng, tmp_path, monkeypatch):
+        """A preemption mid-block-stage must not lose the finished batches:
+        every completed batch is persisted under the fingerprint, and the
+        rerun recomputes ONLY the missing blocks, yielding a bit-identical
+        PMDArray (keys are pre-split per global block id)."""
+        import os
+
+        import localmd_tpu.engine as engine_mod
+        from localmd_tpu import pipeline as pipeline_mod
+
+        # 40x40 FOV / 10x10 blocks = 49 blocks -> multiple 16-block batches
+        movie = make_low_rank_movie(2, (280, 40, 40), rng)
+        kw = dict(
+            block_sizes=(10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+            block_batch_size=16,
+        )
+        clean = localmd_decomposition(movie, **kw)
+
+        path = str(tmp_path / "ck")
+        real_step = engine_mod.window0_chunk_step
+        calls = {"n": 0}
+
+        def dying_step(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 2:  # first batch completes, then "preemption"
+                raise KeyboardInterrupt("simulated preemption")
+            return real_step(*args, **kwargs)
+
+        monkeypatch.setattr(pipeline_mod.engine, "window0_chunk_step", dying_step)
+        with pytest.raises(KeyboardInterrupt):
+            localmd_decomposition(movie, checkpoint_path=path, **kw)
+        parts = [f for f in os.listdir(tmp_path) if ".blocks.part" in f]
+        assert len(parts) == 1, parts  # the finished batch was persisted
+
+        monkeypatch.setattr(pipeline_mod.engine, "window0_chunk_step", real_step)
+        batch_sizes_seen = []
+        real_step2 = engine_mod.window0_chunk_step
+
+        def counting_step(data, starts, *args, **kwargs):
+            batch_sizes_seen.append(int(starts.shape[0]))
+            return real_step2(data, starts, *args, **kwargs)
+
+        monkeypatch.setattr(pipeline_mod.engine, "window0_chunk_step", counting_step)
+        resumed = localmd_decomposition(movie, checkpoint_path=path, **kw)
+        # 49 blocks, 16 done before the kill: resume dispatches only the 33
+        # missing (3 batches of <=16), not the full 49 (4 batches)
+        assert len(batch_sizes_seen) == 3, batch_sizes_seen
+        np.testing.assert_allclose(resumed[5], clean[5], atol=1e-5)
+        np.testing.assert_allclose(resumed.s, clean.s, rtol=1e-5)
+        # the whole-stage checkpoint supersedes the parts, which are cleaned up
+        assert not [f for f in os.listdir(tmp_path) if ".blocks.part" in f]
+        assert os.path.exists(path + ".blocks.npz")
+
     def test_config_change_invalidates(self, rng, tmp_path):
         movie = make_low_rank_movie(2, (280, 20, 20), rng)
         kw = dict(
