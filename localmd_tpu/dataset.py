@@ -129,15 +129,48 @@ class NumpyArray(PMDDataset):
 class TiffArray(PMDDataset):
     """Multipage TIFF movie (reference dataset.py:131-181 parity), backed by
     the native :class:`localmd_tpu.io.tiff.TiffReader` (mmap + one-time page
-    index, rather than per-call header re-parse)."""
+    index, rather than per-call header re-parse).
+
+    When the native parser rejects a file (an exotic codec or layout outside
+    its subset) and ``tifffile`` is importable, the array falls back to a
+    tifffile backend with a warning — the reference reads anything tifffile
+    reads (reference dataset.py:169-181), so breadth is preserved wherever
+    that package is installed. Without tifffile the error names both."""
 
     def __init__(self, filename: str):
         self.filename = filename
-        self._reader = TiffReader(filename)
+        self._tifffile = None
+        try:
+            self._reader = TiffReader(filename)
+        except ValueError as native_err:
+            try:
+                import tifffile
+            except ImportError:
+                raise ValueError(
+                    f"{native_err} — and the 'tifffile' fallback is not "
+                    "installed (pip install tifffile to read formats outside "
+                    "the native reader's subset)"
+                ) from native_err
+            import warnings
+
+            warnings.warn(
+                f"native TIFF reader rejected {filename!r} ({native_err}); "
+                "falling back to tifffile (slower random access)",
+                stacklevel=2,
+            )
+            self._reader = None
+            self._tifffile = tifffile
+            with tifffile.TiffFile(filename) as tf:
+                n = len(tf.pages)
+                p0 = tf.pages[0]
+                self._tf_shape = (n,) + tuple(p0.shape[-2:])
+                self._tf_dtype = np.dtype(p0.dtype)
 
     def set_io_threads(self, n: int) -> None:
         """Map the pipeline's ``num_workers`` onto the native reader's thread
         count (the reference maps it onto torch DataLoader processes)."""
+        if self._reader is None:
+            return
         reader = getattr(self._reader, "_fast_reader", None)
         if reader is not None:
             reader.n_threads = max(1, int(n))
@@ -150,10 +183,12 @@ class TiffArray(PMDDataset):
 
     @property
     def raw_dtype(self) -> np.dtype:
-        return self._reader.dtype
+        return self._reader.dtype if self._reader is not None else self._tf_dtype
 
     @property
     def shape(self) -> Tuple[int, int, int]:
+        if self._reader is None:
+            return self._tf_shape
         return (len(self._reader),) + self._reader.frame_shape
 
     def _compute_at_indices(self, indices) -> np.ndarray:
@@ -163,6 +198,11 @@ class TiffArray(PMDDataset):
             idx = list(range(indices.start or 0, indices.stop or self.shape[0], indices.step or 1))
         else:
             idx = list(indices)
+        if self._reader is None:
+            # tifffile backend (reference dataset.py:169-181 semantics)
+            out = self._tifffile.imread(self.filename, key=idx)
+            out = np.asarray(out, dtype=np.float32)
+            return out.reshape((len(idx),) + self._tf_shape[1:])
         return self._reader.read_frames(idx).astype(np.float32)
 
 

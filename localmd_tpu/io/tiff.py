@@ -12,8 +12,17 @@ module implements that subset natively:
   grayscale pages.
 - dtypes: uint8/16/32, int8/16/32, float32/float64 (SampleFormat tag).
 - Compression: none (1), LZW (5, native C++ decoder with Python fallback),
-  Adobe/legacy Deflate (8/32946, zlib), PackBits (32773); horizontal
+  Adobe/legacy Deflate (8/32946, zlib), PackBits (32773), zstd
+  (50000/34926, via the zstandard package), LZMA (34925); horizontal
   differencing predictor (tag 317, value 2).
+- ImageJ contiguous hyperstacks: a single IFD with ``ImageJ=…\\nimages=N``
+  in ImageDescription and N frames stored back-to-back (how ImageJ writes
+  ALL of its >4 GB stacks) is expanded to N synthesized pages.
+- OME-TIFF: single-file OME stacks are ordinary multipage TIFFs with an
+  OME-XML ImageDescription (exposed as ``reader.description``).
+
+Files outside this subset fall back to ``tifffile`` when it is installed
+(see :class:`localmd_tpu.dataset.TiffArray`).
 
 Pages are indexed once at open; uncompressed frame reads are
 ``np.frombuffer`` slices over a single ``mmap``-backed buffer, so
@@ -36,6 +45,7 @@ _TAG_IMAGE_WIDTH = 256
 _TAG_IMAGE_LENGTH = 257
 _TAG_BITS_PER_SAMPLE = 258
 _TAG_COMPRESSION = 259
+_TAG_IMAGE_DESCRIPTION = 270
 _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
@@ -52,8 +62,12 @@ _COMP_LZW = 5
 _COMP_DEFLATE_ADOBE = 8
 _COMP_PACKBITS = 32773
 _COMP_DEFLATE = 32946
+_COMP_LZMA = 34925          # tifffile/libtiff extension
+_COMP_ZSTD_DRAFT = 34926    # early zstd registration
+_COMP_ZSTD = 50000          # zstd id written by tifffile/imagecodecs
 _SUPPORTED_COMPRESSIONS = (
     _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE, _COMP_PACKBITS, _COMP_DEFLATE,
+    _COMP_LZMA, _COMP_ZSTD_DRAFT, _COMP_ZSTD,
 )
 
 # TIFF type id -> (struct fmt char, byte size)
@@ -203,6 +217,20 @@ def _decode_segment(data: bytes, compression: int, expected: int) -> bytes:
         return zlib.decompress(data)
     if compression == _COMP_PACKBITS:
         return _packbits_decode(data, expected)
+    if compression in (_COMP_ZSTD, _COMP_ZSTD_DRAFT):
+        try:
+            import zstandard
+        except ImportError as e:  # pragma: no cover - zstandard is bundled
+            raise ValueError(
+                "zstd-compressed TIFF requires the 'zstandard' package"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(
+            data, max_output_size=expected
+        )
+    if compression == _COMP_LZMA:
+        import lzma
+
+        return lzma.decompress(data)
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
@@ -307,6 +335,7 @@ class TiffReader:
                 _TAG_ROWS_PER_STRIP, _TAG_STRIP_BYTE_COUNTS, _TAG_SAMPLE_FORMAT,
                 _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
                 _TAG_TILE_OFFSETS, _TAG_TILE_BYTE_COUNTS,
+                _TAG_IMAGE_DESCRIPTION,
             ):
                 values = self._read_entry_values(type_id, count, bytes(payload))
                 if values is None or not values:
@@ -326,7 +355,7 @@ class TiffReader:
         if comp not in _SUPPORTED_COMPRESSIONS:
             raise ValueError(
                 f"{self.filename}: TIFF compression {comp} not supported "
-                "(supported: none, LZW, Deflate, PackBits)"
+                "(supported: none, LZW, Deflate, PackBits, zstd, LZMA)"
             )
         spp = tags.get(_TAG_SAMPLES_PER_PIXEL, (1,))[0]
         if spp != 1:
@@ -369,12 +398,70 @@ class TiffReader:
         pages = []
         offset = self._first_ifd
         seen = set()
+        first_description = None
         while offset and offset not in seen:
             seen.add(offset)
             tags, offset = self._parse_ifd(offset)
             if _TAG_IMAGE_WIDTH in tags:
+                if first_description is None and _TAG_IMAGE_DESCRIPTION in tags:
+                    vals = tags[_TAG_IMAGE_DESCRIPTION]
+                    raw = (
+                        b"".join(vals)
+                        if vals and isinstance(vals[0], bytes)
+                        else bytes(v & 0xFF for v in vals)
+                    )
+                    first_description = raw.split(b"\x00")[0].decode(
+                        "utf-8", "replace"
+                    )
                 pages.append(self._page_from_tags(tags))
-        return pages
+        self.description = first_description
+        return self._expand_imagej_hyperstack(pages)
+
+    def _expand_imagej_hyperstack(self, pages: List[_Page]) -> List[_Page]:
+        """ImageJ writes stacks (and ALWAYS its >4 GB \"raw\" big stacks)
+        with a single IFD whose ImageDescription says ``ImageJ=...`` and
+        ``images=N``; the remaining N-1 frames follow the first frame's
+        samples contiguously with no IFDs of their own. Synthesize the
+        missing pages so random access works like any multipage file
+        (tifffile's is_imagej handling; reference reads such files through
+        tifffile, reference dataset.py:169-181)."""
+        if len(pages) != 1 or not self.description:
+            return pages
+        desc = self.description
+        if not desc.startswith("ImageJ="):
+            return pages
+        n_images = None
+        for line in desc.splitlines():
+            if line.startswith("images="):
+                try:
+                    n_images = int(line.split("=", 1)[1])
+                except ValueError:
+                    return pages
+                break
+        p0 = pages[0]
+        if (
+            n_images is None
+            or n_images <= 1
+            or p0.compression != _COMP_NONE
+            or p0.tile_width
+            or len(p0.strip_offsets) != 1
+        ):
+            return pages
+        frame_bytes = p0.width * p0.height * p0.dtype.itemsize
+        base = p0.strip_offsets[0]
+        # never synthesize frames past the file (truncated acquisitions)
+        capacity = (len(self._buf) - base) // frame_bytes
+        n_images = min(n_images, max(capacity, 1))
+        return [
+            _Page(
+                width=p0.width, height=p0.height, dtype=p0.dtype,
+                strip_offsets=(base + k * frame_bytes,),
+                strip_byte_counts=(frame_bytes,),
+                compression=_COMP_NONE, predictor=p0.predictor,
+                rows_per_strip=p0.rows_per_strip,
+            )
+            for k in range(n_images)
+        ]
 
     # -- frame access ----------------------------------------------------------
 
@@ -714,11 +801,25 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _zstd_encode(data: bytes) -> bytes:
+    import zstandard
+
+    return zstandard.ZstdCompressor().compress(data)
+
+
+def _lzma_encode(data: bytes) -> bytes:
+    import lzma
+
+    return lzma.compress(data)
+
+
 _ENCODERS = {
     "none": (_COMP_NONE, lambda b: b),
     "lzw": (_COMP_LZW, _lzw_encode),
     "deflate": (_COMP_DEFLATE_ADOBE, zlib.compress),
     "packbits": (_COMP_PACKBITS, _packbits_encode),
+    "zstd": (_COMP_ZSTD, _zstd_encode),
+    "lzma": (_COMP_LZMA, _lzma_encode),
 }
 
 

@@ -135,6 +135,165 @@ class TestMultiStripTiff:
         np.testing.assert_allclose(arr[[0, 3]], movie[[0, 3]].astype(np.float32))
 
 
+def _craft_tiff(path, frames, description=None, single_ifd=False,
+                compression_id=None):
+    """Hand-build a classic little-endian TIFF: per-page IFDs (or a single
+    IFD with the remaining frames contiguous after the first — the ImageJ
+    hyperstack layout), optional ImageDescription on page 1, optional raw
+    compression id override (to exercise unsupported-codec paths)."""
+    frames = np.asarray(frames)
+    t, h, w = frames.shape
+    dt = frames.dtype.newbyteorder("<")
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    desc = (description.encode() + b"\x00") if description else None
+    n_pages = 1 if single_ifd else t
+    frame_bytes = h * w * dt.itemsize
+
+    entries_per_page = [7 + (1 if (desc and k == 0) else 0) for k in range(n_pages)]
+    ifd_sizes = [2 + n * 12 + 4 for n in entries_per_page]
+    ifd_offs = [8]
+    for s in ifd_sizes[:-1]:
+        ifd_offs.append(ifd_offs[-1] + s)
+    desc_off = ifd_offs[-1] + ifd_sizes[-1]
+    data_start = desc_off + (len(desc) if desc else 0)
+
+    with open(path, "wb") as f:
+        f.write(b"II*\x00" + struct.pack("<I", 8))
+        for k in range(n_pages):
+            n = entries_per_page[k]
+            f.write(struct.pack("<H", n))
+
+            def entry(tag, type_id, count, value):
+                f.write(struct.pack("<HHI", tag, type_id, count))
+                if type_id == 3:
+                    f.write(struct.pack("<HH", value, 0))
+                else:
+                    f.write(struct.pack("<I", value))
+
+            entry(256, 4, 1, w)
+            entry(257, 4, 1, h)
+            entry(258, 3, 1, dt.itemsize * 8)
+            entry(259, 3, 1, compression_id or 1)
+            if desc and k == 0:
+                entry(270, 2, len(desc), desc_off)
+            entry(273, 4, 1, data_start + k * frame_bytes)
+            entry(279, 4, 1, frame_bytes)
+            entry(339, 3, 1, kind)
+            nxt = ifd_offs[k + 1] if k + 1 < n_pages else 0
+            f.write(struct.pack("<I", nxt))
+        if desc:
+            f.write(desc)
+        f.write(np.ascontiguousarray(frames).astype(dt, copy=False).tobytes())
+
+
+class TestRealWorldTiffFormats:
+    """Formats the reference ingests through tifffile (reference
+    dataset.py:169-181): ImageJ contiguous hyperstacks, OME-TIFF, zstd/LZMA
+    codecs — decoded natively here, with a tifffile fallback when a file is
+    outside the native subset."""
+
+    def test_imagej_hyperstack_single_ifd(self, tmp_path, rng):
+        # ImageJ big stacks write ONE IFD + 'images=N' + contiguous frames
+        movie = (rng.random((12, 9, 7)) * 4000).astype(np.uint16)
+        path = str(tmp_path / "ij.tif")
+        _craft_tiff(path, movie, single_ifd=True,
+                    description="ImageJ=1.54f\nimages=12\nframes=12\nunit=um\n")
+        reader = TiffReader(path)
+        assert len(reader.pages) == 12
+        np.testing.assert_array_equal(reader.read_frames(range(12)), movie)
+        reader.close()
+        arr = TiffArray(path)
+        assert arr.shape == (12, 9, 7)
+        np.testing.assert_allclose(arr[[0, 11]], movie[[0, 11]].astype(np.float32))
+
+    def test_imagej_truncated_stack_clamps(self, tmp_path, rng):
+        # acquisition died mid-write: images= claims more frames than exist
+        movie = (rng.random((6, 5, 4)) * 100).astype(np.uint16)
+        path = str(tmp_path / "ij_trunc.tif")
+        _craft_tiff(path, movie, single_ifd=True,
+                    description="ImageJ=1.54f\nimages=10\n")
+        reader = TiffReader(path)
+        assert len(reader.pages) == 6  # clamped to what the file holds
+        np.testing.assert_array_equal(reader.read_frames(range(6)), movie)
+        reader.close()
+
+    def test_ome_tiff_description_tolerated(self, tmp_path, rng):
+        # single-file OME-TIFF = multipage TIFF + OME-XML ImageDescription
+        movie = (rng.random((4, 8, 6)) * 900).astype(np.uint16)
+        ome = ('<?xml version="1.0"?><OME xmlns="http://www.openmicroscopy.org'
+               '/Schemas/OME/2016-06"><Image><Pixels SizeT="4" SizeY="8" '
+               'SizeX="6" Type="uint16"/></Image></OME>')
+        path = str(tmp_path / "ome.tif")
+        _craft_tiff(path, movie, description=ome)
+        reader = TiffReader(path)
+        assert len(reader.pages) == 4  # OME description must NOT trigger
+        assert reader.description.startswith("<?xml")  # hyperstack synthesis
+        np.testing.assert_array_equal(reader.read_frames(range(4)), movie)
+        reader.close()
+
+    @pytest.mark.parametrize("codec", ["zstd", "lzma"])
+    def test_zstd_lzma_roundtrip(self, tmp_path, rng, codec):
+        movie = (rng.random((5, 21, 17)) * 3000).astype(np.uint16)
+        path = str(tmp_path / f"{codec}.tif")
+        write_tiff_compressed(path, movie, compression=codec)
+        reader = TiffReader(path)
+        np.testing.assert_array_equal(reader.read_frames(range(5)), movie)
+        reader.close()
+
+    def test_unsupported_codec_without_tifffile_names_fallback(self, tmp_path, rng, monkeypatch):
+        import builtins
+        import sys
+
+        movie = np.zeros((2, 4, 4), np.uint16)
+        path = str(tmp_path / "jpeg.tif")
+        _craft_tiff(path, movie, compression_id=7)  # JPEG: unsupported
+        monkeypatch.setitem(sys.modules, "tifffile", None)
+        real_import = builtins.__import__
+
+        def no_tifffile(name, *a, **k):
+            if name == "tifffile":
+                raise ImportError("No module named 'tifffile'")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", no_tifffile)
+        with pytest.raises(ValueError, match="tifffile"):
+            TiffArray(path)
+
+    def test_tifffile_fallback_used_when_available(self, tmp_path, rng, monkeypatch):
+        import sys
+        import types
+
+        movie = (rng.random((3, 6, 5)) * 100).astype(np.uint16)
+        path = str(tmp_path / "exotic.tif")
+        _craft_tiff(path, movie, compression_id=7)  # native parser rejects
+
+        # fake tifffile that serves the known movie
+        fake = types.ModuleType("tifffile")
+
+        class _FakePage:
+            shape = movie.shape[1:]
+            dtype = movie.dtype
+
+        class _FakeTiffFile:
+            def __init__(self, fn):
+                self.pages = [_FakePage()] * movie.shape[0]
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        fake.TiffFile = _FakeTiffFile
+        fake.imread = lambda fn, key=None: movie[list(key)]
+        monkeypatch.setitem(sys.modules, "tifffile", fake)
+
+        with pytest.warns(UserWarning, match="falling back to tifffile"):
+            arr = TiffArray(path)
+        assert arr.shape == (3, 6, 5)
+        np.testing.assert_allclose(arr[[0, 2]], movie[[0, 2]].astype(np.float32))
+
+
 class TestBigTiffWriter:
     """write_tiff_stream auto-switches to BigTIFF (version 43, 8-byte
     offsets) past 4 GB; classic offsets would silently overflow (a
