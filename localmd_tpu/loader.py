@@ -282,6 +282,7 @@ class PMDLoader:
         cache_fraction: float = 0.5,
         cache_reserve_bytes: Optional[int] = None,
         np_rng=None,
+        stats_started_hook=None,
     ):
         self.dataset = as_dataset(dataset)
         self.dtype = np.dtype(dtype)
@@ -348,6 +349,13 @@ class PMDLoader:
         self._prefetch_depth = max(2, min(self.num_workers, 4))
         if self.num_workers and hasattr(self.dataset, "set_io_threads"):
             self.dataset.set_io_threads(self.num_workers)
+
+        # Fired once, right after the stats pass commits to its HBM cache
+        # plan (i.e. the moment the long host->device streaming starts), as
+        # hook(loader, cache_target_frames). The pipeline uses it to kick
+        # off background AOT compilation of the block-stage program so the
+        # program load overlaps the streaming (see localmd_tpu.aot).
+        self._stats_started_hook = stats_started_hook
 
         # lazy host copies of mean/std (see _host_stats)
         self._mean_host: Optional[np.ndarray] = None
@@ -595,6 +603,13 @@ class PMDLoader:
 
         cache_target = self._plan_cache_frames()
         self._cache_building = cache_target > 0
+        hook = self._stats_started_hook
+        if hook is not None:
+            self._stats_started_hook = None  # fire once (OOM retry reruns this)
+            try:
+                hook(self, cache_target)
+            except Exception:  # noqa: BLE001 - a warm-up hook must not kill stats
+                pass
         pos = 0
         # Unmerged ranges: the reference stats loop walks plain 1024-frame
         # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise

@@ -168,6 +168,7 @@ def localmd_decomposition(
     profile_dir: Optional[str] = None,
     welch_compat: str = "scipy",
     cache_movie="auto",
+    aot_warm="auto",
 ) -> PMDArray:
     """Run the full PMD compression/denoising pipeline (reference signature,
     decomposition.py:643-664, plus ``seed``/``block_batch_size``/``sim_iters``/
@@ -198,6 +199,12 @@ def localmd_decomposition(
     the reference package's *effective* std_img (one full-chunk-length
     periodogram, hardcoded [65, 129) band — see
     ops.noise.welch_noise_estimate_ref_compat) for strict numerical parity.
+
+    ``aot_warm``: "auto" (default) AOT-compiles the block-stage program on
+    a background thread while the statistics pass streams the movie, hiding
+    the one-time program compile+load behind IO on remote/tunneled TPUs
+    (localmd_tpu.aot); enabled off-CPU. True forces it on, False disables.
+    Results are identical either way.
     """
     if profile_dir is not None:
         # capture a jax profiler trace of the whole pipeline (viewable in
@@ -221,6 +228,7 @@ def localmd_decomposition(
                 checkpoint_path=checkpoint_path,
                 matmul_precision=matmul_precision, profile_dir=None,
                 welch_compat=welch_compat, cache_movie=cache_movie,
+                aot_warm=aot_warm,
             )
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
@@ -241,6 +249,7 @@ def localmd_decomposition(
                 final_rank_tol=final_rank_tol, mesh=mesh,
                 checkpoint_path=checkpoint_path, matmul_precision=None,
                 welch_compat=welch_compat, cache_movie=cache_movie,
+                aot_warm=aot_warm,
             )
     from localmd_tpu.checkpoint import PipelineCheckpoint
     import time as _time
@@ -302,9 +311,67 @@ def localmd_decomposition(
         display("Resuming: background stage loaded from checkpoint")
         precomputed.update(ckpt.load("background"))
 
+    # Resolve denoisers before the loader: the AOT warm-compile plan below
+    # needs the exact static callables the block stage will trace with.
+    sden = spatial_denoiser if spatial_denoiser is not None else identity
+    tden = temporal_denoiser if temporal_denoiser is not None else identity
+
+    # -- background AOT warm-compile (localmd_tpu.aot) -------------------------
+    # While the stats pass streams the movie (pure link time on tunneled
+    # TPUs), a daemon thread compiles + loads the block-stage program for
+    # the predicted geometry. "auto" enables it off-CPU; results are
+    # identical either way (dispatch falls back on any geometry mismatch).
+    warmer = None
+    stats_hook = None
+    aot_enabled = aot_warm is True or (
+        aot_warm == "auto" and jax.default_backend() not in ("cpu",)
+    )
+    if aot_enabled and mesh is None and not ckpt.has("blocks"):
+        from localmd_tpu.aot import BlockProgramWarmer, plan_block_stage
+        from localmd_tpu.utils import ambient_device, ambient_device_or_first
+
+        warmer = BlockProgramWarmer()
+        _orig_window_chunks = window_chunks  # pre-normalization values
+        _orig_frame_range = frame_range
+
+        def stats_hook(loader, cache_target):
+            resident_bytes = 0
+            if loader._device_resident:
+                arr = loader.dataset._array
+                resident_bytes = arr.size * arr.dtype.itemsize
+            plan = plan_block_stage(
+                shape=loader.shape,
+                frame_range=_orig_frame_range,
+                window_chunks=_orig_window_chunks,
+                block_sizes=block_sizes,
+                max_components=max_components,
+                temporal_avg_factor=temporal_avg_factor,
+                spatial_avg_factor=spatial_avg_factor,
+                block_batch_size=block_batch_size,
+                cache_target_frames=cache_target,
+                cache_itemsize=np.dtype(
+                    getattr(loader.dataset, "raw_dtype", loader.dataset.dtype)
+                ).itemsize,
+                device_resident_bytes=resident_bytes,
+                device=ambient_device_or_first(),
+            )
+            if plan is not None:
+                warmer.start(
+                    d1=plan["d1"], d2=plan["d2"], t_data=plan["t_data"],
+                    bb=plan["bb"], b1=plan["b1"], b2=plan["b2"],
+                    max_components=plan["max_components"],
+                    temporal_avg_factor=temporal_avg_factor,
+                    spatial_avg_factor=spatial_avg_factor,
+                    max_consecutive_failures=max_consecutive_failures,
+                    spatial_denoiser=sden, temporal_denoiser=tden,
+                    t_used=plan["crop_avg_constant"],
+                    device=ambient_device(),
+                )
+
     load_obj = PMDLoader(
         dataset_obj,
         dtype=dtype,
+        stats_started_hook=stats_hook,
         background_rank=background_rank,
         batch_size=frame_batch_size,
         pixel_batch_size=pixel_batch_size,
@@ -442,8 +509,6 @@ def localmd_decomposition(
     n_blocks = grid.n_blocks
 
 
-    sden = spatial_denoiser if spatial_denoiser is not None else identity
-    tden = temporal_denoiser if temporal_denoiser is not None else identity
     window_len = min(window_chunks, crop_avg_constant)
     single_window = window_len >= crop_avg_constant
 
@@ -523,6 +588,25 @@ def localmd_decomposition(
         keys_batch = jnp.asarray(
             block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
         )
+        if single_window and mesh is None and warmer is not None:
+            compiled = warmer.get(
+                data_crop.shape,
+                int(starts_batch.shape[0]),
+                (b1, b2, max_components, temporal_avg_factor,
+                 spatial_avg_factor, max_consecutive_failures, sden, tden,
+                 crop_avg_constant),
+            )
+            if compiled is not None:
+                try:
+                    acc_c, counts_c, v_c = warmer(
+                        data_crop, starts_batch, keys_batch,
+                        spatial_threshold, temporal_threshold,
+                    )
+                    return engine.WindowedPMDResult(acc_c, counts_c, v_c)
+                except TypeError:
+                    # aval mismatch the shape check couldn't see (e.g. an
+                    # unexpected input dtype): traced dispatch handles it
+                    pass
         if single_window:
             # Default path: the whole chunk pipeline (gather -> decompose
             # -> filter/pack -> project) is ONE compiled program; with a
@@ -798,6 +882,10 @@ def localmd_decomposition(
     out.pipeline_cache = {
         "cached_frames": int(getattr(load_obj, "_cache_frames", 0)),
         "total_frames": int(t_total),
+    }
+    out.pipeline_aot = {
+        "enabled": warmer is not None,
+        "used": bool(warmer.used) if warmer is not None else False,
     }
     out.pipeline_ranks = {
         "blockwise": int(total_rank),

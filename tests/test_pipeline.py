@@ -263,6 +263,82 @@ class TestDeviceSlicing:
         assert out.shape == (0, 5, 5) or out.size == 0
 
 
+class TestAOTWarm:
+    """Background AOT warm-compile of the block-stage program (localmd_tpu.aot):
+    hides program compile+load behind the streaming stats pass on tunneled
+    TPUs. Must be numerically invisible and fall back on any geometry
+    mismatch."""
+
+    KW = dict(
+        block_sizes=(10, 10), frame_range=400, max_components=6,
+        background_rank=2, temporal_avg_factor=5, sim_iters=20, seed=0,
+        block_batch_size=16,
+    )
+
+    def test_aot_path_used_and_identical(self, rng):
+        movie = make_low_rank_movie(4, (400, 40, 40), rng, noise=0.3)
+        off = localmd_decomposition(movie, aot_warm=False, **self.KW)
+        on = localmd_decomposition(movie, aot_warm=True, **self.KW)
+        assert on.pipeline_aot == {"enabled": True, "used": True}
+        assert off.pipeline_aot == {"enabled": False, "used": False}
+        np.testing.assert_allclose(on[5], off[5], atol=1e-6)
+        np.testing.assert_allclose(on.s, off.s, rtol=1e-6)
+
+    def test_geometry_mismatch_falls_back(self, rng):
+        # compile for the wrong batch size: dispatch must take the traced
+        # path and still produce the right answer
+        from localmd_tpu.aot import BlockProgramWarmer
+        from localmd_tpu.engine import identity
+
+        w = BlockProgramWarmer()
+        w.start(
+            d1=40, d2=40, t_data=400, bb=32, b1=10, b2=10, max_components=6,
+            temporal_avg_factor=5, spatial_avg_factor=2,
+            max_consecutive_failures=1, spatial_denoiser=identity,
+            temporal_denoiser=identity, t_used=400,
+        )
+        statics = (10, 10, 6, 5, 2, 1, identity, identity, 400)
+        assert w.get((40, 40, 400), 16, statics) is None  # bb mismatch
+        assert w.get((40, 40, 300), 32, statics) is None  # shape mismatch
+        assert w.get((40, 40, 400), 32, statics[:-1] + (390,)) is None
+        assert w.get((40, 40, 400), 32, statics) is not None
+
+    def test_multiwindow_plan_declines(self):
+        from localmd_tpu.aot import plan_block_stage
+
+        import jax
+
+        plan = plan_block_stage(
+            shape=(1000, 40, 40), frame_range=400, window_chunks=100,
+            block_sizes=(10, 10), max_components=6, temporal_avg_factor=5,
+            spatial_avg_factor=2, block_batch_size=16,
+            cache_target_frames=0, cache_itemsize=2,
+            device_resident_bytes=0, device=jax.devices()[0],
+        )
+        assert plan is None  # multi-window path loads different programs
+
+    def test_plan_matches_pipeline_clamps(self):
+        # the planner mirrors the pipeline's deterministic max_components /
+        # t_init clamp chain; a drift here only wastes a compile, but keep
+        # the mirror honest
+        from localmd_tpu.aot import plan_block_stage
+
+        import jax
+
+        plan = plan_block_stage(
+            shape=(30000, 512, 512), frame_range=4096, window_chunks=None,
+            block_sizes=(32, 32), max_components=20, temporal_avg_factor=10,
+            spatial_avg_factor=2, block_batch_size=256,
+            cache_target_frames=11264, cache_itemsize=2,
+            device_resident_bytes=0, device=jax.devices()[0],
+        )
+        assert plan is not None
+        assert plan["t_data"] == 4096
+        assert plan["crop_avg_constant"] == 4090
+        assert plan["max_components"] == 20
+        assert plan["b1"] == plan["b2"] == 32
+
+
 class TestFactorizedSVD:
     def test_scipy_sparse_input_matches_dense_svd(self, rng):
         # public API accepts reference-style scipy matrices
