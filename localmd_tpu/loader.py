@@ -76,6 +76,38 @@ def _chunk_ranges(
     return ranges
 
 
+def partition_ranges_for_host(
+    ranges: List[Tuple[int, int]], host_index: int, host_count: int
+) -> List[Tuple[int, int]]:
+    """This host's CONTIGUOUS stripe of the chunk list — the multi-host
+    input fan-out partition (docs/ARCHITECTURE.md §multi-host).
+
+    Contiguous (not round-robin) so each host's output columns form one
+    frames-axis shard of the global result: exactly what a frames-sharded
+    ``NamedSharding`` expects from ``jax.make_array_from_process_local_data``
+    at the assembly point. Boundaries are chosen at chunk granularity,
+    balanced by frame count (chunks may be unequal after tail-merging)."""
+    if host_count <= 1:
+        return list(ranges)
+    if not 0 <= host_index < host_count:
+        raise ValueError(f"host_index {host_index} outside [0, {host_count})")
+    total = sum(b - a for a, b in ranges)
+    # boundary after the chunk whose cumulative frame count first reaches
+    # i * total / host_count
+    bounds = [0]
+    acc = 0
+    target_idx = 1
+    for i, (a, b) in enumerate(ranges):
+        acc += b - a
+        while target_idx < host_count and acc >= target_idx * total / host_count:
+            bounds.append(i + 1)
+            target_idx += 1
+    while len(bounds) < host_count:
+        bounds.append(len(ranges))
+    bounds.append(len(ranges))
+    return list(ranges[bounds[host_index] : bounds[host_index + 1]])
+
+
 def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
     """Background-thread prefetching iterator over ``load_fn(item)``.
 
@@ -516,6 +548,7 @@ class PMDLoader:
         prefetch: bool = True,
         merge_tail: bool = True,
         device_put: bool = False,
+        host_partition: bool = False,
     ):
         """Iterate native-dtype frame chunks.
 
@@ -525,9 +558,21 @@ class PMDLoader:
         via the depth-2 prefetch queue. This is what sustains streaming
         throughput on full-movie passes (stats, V regression); the reference
         overlaps only disk IO via DataLoader workers (pmd_loader.py:155-168).
+
+        With ``host_partition`` (the multi-host input fan-out point, see
+        docs/ARCHITECTURE.md §multi-host), a ``jax.distributed`` run streams
+        only THIS process's contiguous stripe of the chunk list — each host
+        reads its own frames from shared storage, no cross-host data motion.
+        Single-process runs are unaffected.
         """
         chunk_frames = chunk_frames or self._stream_chunk_frames()
         ranges = _chunk_ranges(self.shape[0], chunk_frames, merge_tail=merge_tail)
+        if host_partition:
+            n_proc = getattr(jax, "process_count", lambda: 1)()
+            if n_proc > 1:
+                ranges = partition_ranges_for_host(
+                    ranges, jax.process_index(), n_proc
+                )
         if self._cache is not None and 0 < self._cache_frames < self.shape[0]:
             # split any range straddling the cache boundary so each chunk is
             # served wholly from HBM or wholly from the dataset
@@ -810,11 +855,12 @@ class PMDLoader:
             a_c = unflatten_fov(a_tilde, d1, d2, self._order).reshape(d1 * d2, -1)
             del a_tilde  # the re-ordered copy is the only buffer needed now
             results = []
-            for raw in self._iter_raw_chunks(device_put=True):
+            for raw in self._iter_raw_chunks(device_put=True, host_partition=True):
                 raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
                 results.append(fused_v_projection(raw2d, a_c, c))
-            return (
-                jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
+            return self._assemble_global_v(
+                jnp.concatenate(results, axis=1) if len(results) > 1 else results[0],
+                mesh,
             )
 
         order = self._order
@@ -823,6 +869,14 @@ class PMDLoader:
             return _v_projection_kernel(a_t, c_r, raw, order)
 
         n_dev = 1
+        multi_host = getattr(jax, "process_count", lambda: 1)() > 1
+        mesh_for_assembly = mesh
+        if mesh is not None and multi_host:
+            # per-host stripes are process-LOCAL arrays; frames-parallel V
+            # needs zero collectives, so each host runs the plain kernel on
+            # its stripe and the global result is stitched at the end
+            # (docs/ARCHITECTURE.md §multi-host)
+            mesh = None
         if mesh is not None:
             from localmd_tpu.parallel.mesh import BLOCK_AXIS
             from jax.sharding import PartitionSpec as P
@@ -842,7 +896,9 @@ class PMDLoader:
             kernel = sharded_kernel
 
         results = []
-        for raw in self._iter_raw_chunks(device_put=(mesh is None)):
+        for raw in self._iter_raw_chunks(
+            device_put=(mesh is None), host_partition=True
+        ):
             raw = jnp.asarray(raw)
             t_c = raw.shape[0]
             pad = (-t_c) % n_dev
@@ -850,4 +906,31 @@ class PMDLoader:
                 raw = jnp.concatenate([raw, raw[:pad]], axis=0)
             out = kernel(a_tilde, c, raw)
             results.append(out[:, :t_c] if pad else out)
-        return jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
+        return self._assemble_global_v(
+            jnp.concatenate(results, axis=1) if len(results) > 1 else results[0],
+            mesh_for_assembly,
+        )
+
+    def _assemble_global_v(self, local_v: Array, mesh) -> Array:
+        """Multi-host assembly point (docs/ARCHITECTURE.md §multi-host): in
+        a ``jax.distributed`` run each process computed the V columns of its
+        own contiguous frame stripe; stitch them into one frames-sharded
+        global array — the stripes ARE the shards, so no V bytes cross
+        hosts. Single-process runs: identity."""
+        n_proc = getattr(jax, "process_count", lambda: 1)()
+        if n_proc <= 1:
+            return local_v
+        if mesh is None or mesh.devices.size < n_proc:
+            raise ValueError(
+                "multi-host v_projection needs a host-spanning mesh so the "
+                "per-host V stripes can be assembled into one global array "
+                "(see docs/ARCHITECTURE.md, multi-host input fan-out)"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from localmd_tpu.parallel.mesh import BLOCK_AXIS
+
+        sharding = NamedSharding(mesh, P(None, BLOCK_AXIS))
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(local_v), (local_v.shape[0], self.shape[0])
+        )

@@ -178,6 +178,60 @@ class TestHostStatsCache:
         np.testing.assert_allclose(crop, expected, rtol=1e-5)
 
 
+class TestHostPartition:
+    """Multi-host input fan-out: the chunk list splits into contiguous,
+    frame-balanced per-host stripes (docs/ARCHITECTURE.md §multi-host)."""
+
+    def test_single_host_identity(self):
+        from localmd_tpu.loader import _chunk_ranges, partition_ranges_for_host
+
+        r = _chunk_ranges(10000, 1024)
+        assert partition_ranges_for_host(r, 0, 1) == r
+
+    @pytest.mark.parametrize("total,chunk,hosts", [
+        (30000, 1024, 4), (30000, 1024, 8), (1000, 300, 3), (5, 2, 4),
+    ])
+    def test_stripes_cover_disjoint_contiguous(self, total, chunk, hosts):
+        from localmd_tpu.loader import _chunk_ranges, partition_ranges_for_host
+
+        ranges = _chunk_ranges(total, chunk)
+        stripes = [partition_ranges_for_host(ranges, h, hosts) for h in range(hosts)]
+        # concatenating the stripes reproduces the chunk list exactly
+        assert [r for s in stripes for r in s] == ranges
+        # contiguity: each stripe's frames form one interval
+        for s in stripes:
+            for (a1, b1_), (a2, _) in zip(s, s[1:]):
+                assert b1_ == a2
+        # balance: every host within one chunk of the ideal share
+        frames = [sum(b - a for a, b in s) for s in stripes]
+        assert max(frames) - min(frames) <= 2 * chunk
+
+    def test_bad_host_index_raises(self):
+        from localmd_tpu.loader import partition_ranges_for_host
+
+        with pytest.raises(ValueError):
+            partition_ranges_for_host([(0, 10)], 4, 4)
+
+    def test_v_projection_unchanged_single_process(self, rng):
+        # the host_partition flag must be a no-op with process_count == 1
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        movie = (rng.standard_normal((300, 20, 20)) + 4).astype(np.float32)
+        grid = BlockGrid(20, 20, (10, 10))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 3)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), 400,
+            jnp.zeros((400, 1), jnp.float32),
+        )
+        p = rng.standard_normal((u.shape[1], 5)).astype(np.float32)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        v = np.asarray(loader.v_projection(u, jnp.asarray(p)))
+        assert v.shape == (5, 300)
+
+
 class TestDeviceMovie:
     def test_device_slicing(self, rng):
         movie = rng.standard_normal((50, 8, 6)).astype(np.float32)
