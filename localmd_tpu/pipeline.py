@@ -487,6 +487,13 @@ def localmd_decomposition(
     if max_components > sketch_limit:
         max_components = int(sketch_limit)
         display(f"WARNING: max rank clamped to {max_components} for the rSVD sketch")
+    if max_components <= 0:
+        raise ValueError(
+            "Configuration leaves no room for the rSVD sketch "
+            f"(max_components clamped to {max_components}): increase "
+            "frame_range/window_chunks, or decrease temporal_avg_factor/"
+            "spatial_avg_factor, or use larger blocks"
+        )
 
     crop_avg_constant = (t_init // temporal_avg_factor) * temporal_avg_factor
     window_len_probe = min(window_chunks, crop_avg_constant)

@@ -38,6 +38,18 @@ class TestDecompositionEndToEnd:
         with pytest.raises(ValueError):
             localmd_decomposition(movie, (4, 4), frame_range=300, sim_iters=10)
 
+    def test_degenerate_sketch_room_raises_clearly(self, rng):
+        # frame_range/temporal_avg_factor so small the rSVD sketch clamp
+        # drives max_components to 0: a clear ValueError, not a crash
+        # deep inside the packing kernel
+        movie = make_low_rank_movie(2, (300, 40, 40), rng)
+        with pytest.raises(ValueError, match="no room for the rSVD sketch"):
+            localmd_decomposition(
+                movie, (10, 10), frame_range=100, max_components=10,
+                background_rank=1, temporal_avg_factor=10, sim_iters=10,
+                seed=0,
+            )
+
     def test_tiny_fov_raises(self, rng):
         movie = make_low_rank_movie(2, (300, 8, 40), rng)
         with pytest.raises(ValueError):
