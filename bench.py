@@ -20,22 +20,48 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 import numpy as np
 
 
-def make_movie(d1=512, d2=512, t=2048, rank=16, seed=0):
+def make_movie(d1=512, d2=512, t=2048, rank=16, seed=0, dtype="float32"):
     """Synthetic low-rank + noise movie generated ON DEVICE (this box's
     host->device tunnel is ~20 MB/s; a production TPU host streams over PCIe,
-    so the benchmark measures decomposition throughput, not tunnel IO)."""
+    so the benchmark measures decomposition throughput, not tunnel IO).
+    dtype="uint16" emits a photon-count-like scanner movie at half the HBM
+    (how the 1024^2 x 4096 leg fits alongside its own working set)."""
     import jax
     import jax.numpy as jnp
 
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
     spatial = jax.random.normal(k1, (d1 * d2, rank), dtype=jnp.float32)
-    temporal = jax.random.normal(k2, (rank, t), dtype=jnp.float32)
-    movie = (spatial @ temporal).T.reshape(t, d1, d2)
-    movie = movie + jax.random.normal(k3, (t, d1, d2), dtype=jnp.float32)
-    return jax.block_until_ready(movie)
+    if dtype == "float32":
+        temporal = jax.random.normal(k2, (rank, t), dtype=jnp.float32)
+        movie = (spatial @ temporal).T.reshape(t, d1, d2)
+        movie = movie + jax.random.normal(k3, (t, d1, d2), dtype=jnp.float32)
+        return jax.block_until_ready(movie)
+
+    # integer movies are generated CHUNKED: the full-movie f32 intermediate
+    # of the one-shot path is 4 bytes/px-frame (16 GiB at 1024^2 x 4096 —
+    # over v5e HBM by itself); per-chunk transients + the donated integer
+    # buffer fit easily
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(5,))
+    def _fill(out, sp, kt, kn, s0, n):
+        te = jax.random.normal(kt, (sp.shape[1], n), dtype=jnp.float32)
+        chunk = (sp @ te).T.reshape(n, out.shape[1], out.shape[2])
+        chunk = chunk + jax.random.normal(kn, chunk.shape, dtype=jnp.float32)
+        chunk = jnp.clip(chunk * 40.0 + 1000.0, 0, 65535).astype(out.dtype)
+        return jax.lax.dynamic_update_slice(out, chunk, (s0, 0, 0))
+
+    step = 512 if t % 512 == 0 else t
+    out = jnp.zeros((t, d1, d2), dtype=dtype)
+    for i, s0 in enumerate(range(0, t, step)):
+        kt = jax.random.fold_in(k2, i)
+        kn = jax.random.fold_in(k3, i)
+        out = _fill(out, spatial, kt, kn, jnp.int32(s0), step)
+    return jax.block_until_ready(out)
 
 
-def run_once(movie, quiet=True, matmul_precision=None):
+def run_once(movie, quiet=True, matmul_precision=None, blocks=(32, 32),
+             frame_range=1024, block_batch_size=256):
     import logging
 
     import localmd_tpu
@@ -45,14 +71,14 @@ def run_once(movie, quiet=True, matmul_precision=None):
     t0 = time.perf_counter()
     pmd = localmd_tpu.localmd_decomposition(
         movie,
-        (32, 32),
-        frame_range=1024,
+        blocks,
+        frame_range=frame_range,
         max_components=20,
         background_rank=15,
         temporal_avg_factor=10,
         sim_iters=250,
         seed=0,
-        block_batch_size=256,
+        block_batch_size=block_batch_size,
         rank_prune=True,  # reference demo config (official_demo.ipynb cell 4)
         matmul_precision=matmul_precision,
     )
@@ -225,6 +251,41 @@ def main():
     mpfs = pixel_frames / warm / 1e6
     baseline_per_chip = 125.0  # 1 Gpf/s north star on 8 chips
 
+    # -- second leg: 1024^2 x 4096 (scaling beyond the 0.3 s regime) ---------
+    # uint16 device-resident (8.6 GB — f32 would not fit v5e HBM beside its
+    # own working set). OOM on the multi-tenant chip skips the leg rather
+    # than failing the primary metric.
+    big_leg = None
+    if not os.environ.get("BENCH_SKIP_BIG"):
+        del movie
+        try:
+            # frame_range=512 keeps the f32 init crop at 2.1 GB next to the
+            # 8.6 GB device-resident movie (frame_range=1024's 4.3 GB crop
+            # left no headroom for block-stage transients on a 16 GB chip)
+            big = make_movie(1024, 1024, 4096, dtype="uint16")
+            _, big_cold = _retry_run(
+                big, attempts=2, blocks=(40, 40), frame_range=512,
+                block_batch_size=64,
+            )
+            big_warms = []
+            big_pmd = None
+            for _ in range(3):
+                big_pmd, w = _retry_run(
+                    big, attempts=2, blocks=(40, 40), frame_range=512,
+                    block_batch_size=64,
+                )
+                big_warms.append(w)
+            big_warm = min(big_warms)
+            big_leg = {
+                "warm_s": round(big_warm, 2),
+                "cold_s": round(big_cold, 2),
+                "mpf_s": round(1024 * 1024 * 4096 / big_warm / 1e6, 1),
+                "final_rank": big_pmd.rank,
+            }
+            del big, big_pmd
+        except Exception as e:  # noqa: BLE001 - leg is best-effort
+            big_leg = {"skipped": str(e)[:160]}
+
     flops = estimate_pipeline_flops(
         d1, d2, t, frame_range=1024, block=32, max_components=20,
         background_rank=15, temporal_avg_factor=10, spatial_avg_factor=2,
@@ -251,6 +312,11 @@ def main():
                     "mfu_vs_bf16_peak": round(tflops / peak_tflops, 5),
                     "chip": chip_kind,
                     "peak_bf16_tflops": peak_tflops,
+                    **(
+                        {"leg_1024x1024x4096_u16": big_leg}
+                        if big_leg is not None
+                        else {}
+                    ),
                     **(
                         {"highest_precision_mpf_s": round(bf16_mpfs, 2)}
                         if bf16_mpfs is not None

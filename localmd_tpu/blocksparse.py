@@ -44,12 +44,25 @@ def _mm(a: Array, b: Array) -> Array:
 
 # Budget for the (blocks, p, m) batched-matmul intermediate; the block axis
 # is chunked so this is never exceeded (a 1024^2 FOV with 2.6k blocks and a
-# 1k-frame right-hand side would otherwise materialize ~17 GB).
-_INTERMEDIATE_BUDGET_BYTES = 1 << 30
+# 1k-frame right-hand side would otherwise materialize ~17 GB). Scaled to
+# the device: HBM/16 with a 1 GiB floor (utils.device.transient_budget_bytes)
+# — a fixed 1 GiB would leave dispatch count on the table on 95 GB chips.
+
+
+# test/debug override: a number here pins the budget (None = device-scaled)
+_INTERMEDIATE_BUDGET_BYTES = None
+
+
+def _intermediate_budget() -> int:
+    if _INTERMEDIATE_BUDGET_BYTES is not None:
+        return _INTERMEDIATE_BUDGET_BYTES
+    from localmd_tpu.utils import transient_budget_bytes
+
+    return transient_budget_bytes()
 
 
 def _block_group_size(p: int, m: int) -> int:
-    return max(8, int(_INTERMEDIATE_BUDGET_BYTES // (p * m * 4)))
+    return max(8, int(_intermediate_budget() // (p * m * 4)))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -180,7 +193,7 @@ class BlockSparseMatrix:
             # chunk COLUMNS so one chunk's canvas + single-coset transients
             # (~4 FOV-column-chunk-sized buffers) stay within budget
             mc = max(
-                32, int(_INTERMEDIATE_BUDGET_BYTES // (self.n_pixels * 4 * 4))
+                32, int(_intermediate_budget() // (self.n_pixels * 4 * 4))
             )
 
             def accumulate_canvas(x_cols: Array) -> Array:

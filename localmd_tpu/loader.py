@@ -211,11 +211,24 @@ def _background_basis_kernel(
 ) -> Array:
     """Gather + standardize + flatten + randomized SVD as ONE program (for
     device-resident movies — an eager gather of ~1000 frames copies nearly
-    the whole movie before the standardize even starts)."""
-    crop = jnp.moveaxis(movie[idx].astype(jnp.float32), 0, -1)
-    crop = (crop - mean_img[:, :, None]) / std_img[:, :, None]
-    flat = flatten_fov(crop, order)
-    u, _, _ = truncated_random_svd(flat, key, rank)
+    the whole movie before the standardize even starts).
+
+    The frame selection is a ``lax.scan`` of per-frame ``dynamic_slice``s,
+    NOT a fancy gather: XLA lowers a many-row gather from a large 3-D
+    operand through a layout-converted copy of the WHOLE movie (4 x 2 GB
+    remat temps alongside the 8.6 GB movie at 1024^2 x 4096 uint16 — a
+    compile-time HBM OOM, and chunking the gather doesn't help because each
+    chunk still pays the full copy). Slices keep the peak at movie + the
+    (d, n) standardized crop."""
+    d1, d2 = movie.shape[1], movie.shape[2]
+
+    def body(_, i):
+        fr = jax.lax.dynamic_slice(movie, (i, 0, 0), (1, d1, d2))[0]
+        fr = (fr.astype(jnp.float32) - mean_img) / std_img
+        return None, flatten_image(fr, order)              # (d,)
+
+    _, cols = jax.lax.scan(body, None, idx)                # (n, d)
+    u, _, _ = truncated_random_svd(cols.T, key, rank)
     return u
 
 
@@ -539,8 +552,14 @@ class PMDLoader:
         return np.ascontiguousarray(arr)
 
     def _stream_chunk_frames(self) -> int:
+        from localmd_tpu.utils import transient_budget_bytes
+
         per_frame = self.n_pixels * 4
-        return max(64, min(self.batch_size, STREAM_CHUNK_BYTES // per_frame))
+        # device-scaled chunk cap (HBM/16, 1 GiB floor): fewer, larger
+        # dispatches on big-HBM chips; each queued chunk is one in-flight
+        # H2D transfer so the prefetch depth still bounds peak footprint
+        budget = max(STREAM_CHUNK_BYTES, transient_budget_bytes(self._device))
+        return max(64, min(self.batch_size, budget // per_frame))
 
     def _iter_raw_chunks(
         self,

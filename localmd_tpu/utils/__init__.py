@@ -3,6 +3,7 @@ from localmd_tpu.utils.device import (
     ambient_device,
     ambient_device_or_first,
     is_device_oom,
+    transient_budget_bytes,
 )
 from localmd_tpu.utils.keys import (
     make_key,
@@ -17,6 +18,7 @@ __all__ = [
     "ambient_device",
     "ambient_device_or_first",
     "is_device_oom",
+    "transient_budget_bytes",
     "make_key",
     "make_key_with_seed",
     "split_keys",

@@ -30,6 +30,42 @@ def ambient_device_or_first():
     return dev if dev is not None else jax.devices()[0]
 
 
+_TRANSIENT_BUDGET_CACHE: dict = {}
+
+
+def transient_budget_bytes(device=None) -> int:
+    """Per-dispatch transient-buffer budget scaled to the device: HBM/16,
+    floored at 1 GiB.
+
+    The chunked paths (blocked-sparse matmuls, stream chunk sizing) bound
+    their intermediates with this. A fixed 1 GiB is right for a 16 GB v5e
+    (1/16th of HBM) but leaves dispatch count on the table on a 95 GB v5p —
+    every extra chunk costs a program dispatch, and on tunneled devices a
+    round trip. HBM is read from ``memory_stats()`` when the runtime
+    reports it, else the nominal per-kind table; unknown devices (CPU test
+    meshes) keep the 1 GiB floor so test behavior is hardware-independent.
+    """
+    dev = device if device is not None else ambient_device_or_first()
+    key = getattr(dev, "id", None), getattr(dev, "device_kind", None)
+    cached = _TRANSIENT_BUDGET_CACHE.get(key)
+    if cached is not None:
+        return cached
+    hbm = None
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            hbm = float(stats["bytes_limit"])
+    except Exception:  # pragma: no cover - backend without memory_stats
+        pass
+    if hbm is None:
+        from localmd_tpu.loader import nominal_hbm_bytes
+
+        hbm = nominal_hbm_bytes(dev)
+    budget = max(1 << 30, int(hbm / 16)) if hbm else 1 << 30
+    _TRANSIENT_BUDGET_CACHE[key] = budget
+    return budget
+
+
 def is_device_oom(e: BaseException) -> bool:
     """True iff ``e`` is the runtime's typed device-OOM error.
 
