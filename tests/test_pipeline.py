@@ -117,6 +117,34 @@ class TestDecompositionEndToEnd:
         assert rel < 1e-2, rel
 
 
+class TestImageJStackEndToEnd:
+    def test_pipeline_on_imagej_hyperstack_tiff(self, rng, tmp_path):
+        """End-to-end on a 2p-style movie written the way ImageJ writes ALL
+        of its large stacks: ONE IFD + 'images=N' + contiguous uint16
+        frames (the demoMovie.tif blob is absent from the environment;
+        this pins the same format risk with a generated fixture)."""
+        from test_io_and_dataset import _craft_tiff
+
+        t, d1, d2 = 300, 24, 24
+        clean = make_low_rank_movie(3, (t, d1, d2), rng)
+        movie = np.clip(clean * 2000 + 30 * rng.standard_normal(
+            (t, d1, d2)), 0, 65535).astype(np.uint16)
+        path = str(tmp_path / "ij2p.tif")
+        _craft_tiff(path, movie, single_ifd=True,
+                    description=f"ImageJ=1.54f\nimages={t}\nframes={t}\n")
+        pmd = localmd_decomposition(
+            path, (12, 12), frame_range=300, max_components=6,
+            background_rank=1, temporal_avg_factor=4, sim_iters=20, seed=0,
+        )
+        assert pmd.shape == (t, d1, d2)
+        recon = pmd[:, :, :]
+        # reconstruction should sit at the injected noise floor, not above
+        rel = np.linalg.norm(recon - movie) / np.linalg.norm(movie)
+        noise_floor = np.linalg.norm(movie - np.clip(clean * 2000, 0, 65535)
+                                     ) / np.linalg.norm(movie)
+        assert rel < 1.5 * noise_floor + 0.02, (rel, noise_floor)
+
+
 class TestPMDArraySemantics:
     @pytest.fixture(scope="class")
     def pmd(self):
