@@ -39,15 +39,12 @@ def fence(x):
     return float(jnp.asarray(x).ravel()[0])
 
 
-def make_movie(d1, d2, t, dtype=jnp.float32, rank=16, seed=0):
-    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-    sp = jax.random.normal(k1, (d1 * d2, rank))
-    te = jax.random.normal(k2, (rank, t))
-    m = (sp @ te).T.reshape(t, d1, d2) + jax.random.normal(k3, (t, d1, d2))
-    if dtype != jnp.float32:
-        m = jnp.clip(m * 40.0 + 1000.0, 0, 65535).astype(dtype)
-    fence(m)
-    return m
+def make_movie(d1, d2, t, dtype="float32", rank=16, seed=0):
+    # bench.make_movie generates integer movies CHUNKED (a one-shot f32
+    # intermediate is 16 GiB at 1024^2 x 4096 — over HBM by itself)
+    from bench import make_movie as _mk
+
+    return _mk(d1, d2, t, rank=rank, seed=seed, dtype=dtype)
 
 
 def run_fenced(movie, d1, d2, t, b, frame_range, max_components=20,
@@ -218,12 +215,12 @@ def main():
 
     if args.big:
         d1 = d2 = 1024
-        t, b, frame_range, bb_cap = 4096, 40, 1024, 64
-        dtype, itemsize = jnp.uint16, 2
+        t, b, frame_range, bb_cap = 4096, 40, 512, 64
+        dtype, itemsize = "uint16", 2
     else:
         d1 = d2 = 512
         t, b, frame_range, bb_cap = 2048, 32, 1024, 256
-        dtype, itemsize = jnp.float32, 4
+        dtype, itemsize = "float32", 4
 
     movie = make_movie(d1, d2, t, dtype=dtype)
     # warm pass compiles/loads every program; the timed pass is pure compute
