@@ -51,12 +51,15 @@ def make_movie(d1=512, d2=512, t=2048, rank=16, seed=0, dtype="float32"):
         chunk = jnp.clip(chunk * 40.0 + 1000.0, 0, 65535).astype(out.dtype)
         return jax.lax.dynamic_update_slice(out, chunk, (s0, 0, 0))
 
-    step = 512 if t % 512 == 0 else t
+    step = min(512, t)
     out = jnp.zeros((t, d1, d2), dtype=dtype)
     for i, s0 in enumerate(range(0, t, step)):
+        # tail remainder gets its own (one extra) compiled variant rather
+        # than falling back to a whole-movie chunk
+        n = min(step, t - s0)
         kt = jax.random.fold_in(k2, i)
         kn = jax.random.fold_in(k3, i)
-        out = _fill(out, spatial, kt, kn, jnp.int32(s0), step)
+        out = _fill(out, spatial, kt, kn, jnp.int32(s0), n)
     return jax.block_until_ready(out)
 
 
@@ -187,11 +190,13 @@ def _retry_run(movie, attempts=3, **kw):
     run-to-run depending on co-tenants. Retry RESOURCE_EXHAUSTED a couple
     of times (with a pause for the neighbor's burst to drain) so a driver
     run on a congested chip still produces a number."""
+    from localmd_tpu.utils import is_device_oom
+
     for i in range(attempts):
         try:
             return run_once(movie, **kw)
         except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
+            if not is_device_oom(e) or i == attempts - 1:
                 raise
             print(f"# RESOURCE_EXHAUSTED (multi-tenant chip), retry {i + 1}",
                   file=sys.stderr)
@@ -222,7 +227,9 @@ def main():
             # only tenancy OOMs are survivable; anything else (shape error,
             # NaN guard, driver fault) must fail the bench loudly — silently
             # shrinking the sample would mask real regressions
-            if pmd is None or "RESOURCE_EXHAUSTED" not in str(e):
+            from localmd_tpu.utils import is_device_oom
+
+            if pmd is None or not is_device_oom(e):
                 raise
             print("# warm run dropped: RESOURCE_EXHAUSTED persisted through "
                   "retries", file=sys.stderr)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from localmd_tpu import engine
-from localmd_tpu.utils import display, get_logger
+from localmd_tpu.utils import get_logger
 
 logger = get_logger()
 
@@ -78,6 +78,16 @@ class BlockProgramWarmer:
              t_used),
         )
 
+        # jax config contexts (default_matmul_precision, default_device) are
+        # THREAD-LOCAL: snapshot the caller's effective values here and
+        # re-enter them in the worker, or a matmul_precision="highest" run
+        # would silently get a default-precision (one-pass bf16) block
+        # program — the geometry check cannot see precision.
+        try:
+            precision = jax.config.jax_default_matmul_precision
+        except AttributeError:  # pragma: no cover - config name drift
+            precision = None
+
         def _compile():
             try:
                 args = (
@@ -91,12 +101,15 @@ class BlockProgramWarmer:
                     max_consecutive_failures,
                     spatial_denoiser, temporal_denoiser, t_used,
                 )
-                if device is not None:
-                    with jax.default_device(device):
-                        self._compiled = engine.window0_chunk_step.lower(
-                            *args
-                        ).compile()
-                else:
+                from contextlib import ExitStack
+
+                with ExitStack() as stack:
+                    if device is not None:
+                        stack.enter_context(jax.default_device(device))
+                    if precision is not None:
+                        stack.enter_context(
+                            jax.default_matmul_precision(precision)
+                        )
                     self._compiled = engine.window0_chunk_step.lower(
                         *args
                     ).compile()
@@ -117,9 +130,8 @@ class BlockProgramWarmer:
         its speed."""
         if self._thread is None:
             return None
-        self._thread.join()
-        if self._compiled is None:
-            return None
+        # plan check BEFORE join: a mispredicted plan must not stall the
+        # block stage behind a compile whose result will be discarded
         shape_p, bb, statics_p = self._plan
         if (
             tuple(data_shape) != shape_p
@@ -127,6 +139,7 @@ class BlockProgramWarmer:
             or statics != statics_p
         ):
             return None
+        self._thread.join()
         return self._compiled
 
     def __call__(self, data, starts, keys, spatial_threshold, temporal_threshold):

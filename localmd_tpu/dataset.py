@@ -163,7 +163,17 @@ class TiffArray(PMDDataset):
             with tifffile.TiffFile(filename) as tf:
                 n = len(tf.pages)
                 p0 = tf.pages[0]
-                self._tf_shape = (n,) + tuple(p0.shape[-2:])
+                page_shape = tuple(p0.shape)
+                if len(page_shape) != 2:
+                    # RGB / multi-sample pages: PMD needs (T, d1, d2)
+                    # grayscale; reshaping the last two dims would silently
+                    # mangle channels
+                    raise ValueError(
+                        f"{filename}: pages have shape {page_shape}; only "
+                        "single-sample (grayscale) movies are supported — "
+                        "convert multi-channel data to grayscale first"
+                    ) from native_err
+                self._tf_shape = (n,) + page_shape
                 self._tf_dtype = np.dtype(p0.dtype)
 
     def set_io_threads(self, n: int) -> None:

@@ -83,29 +83,38 @@ def partition_ranges_for_host(
     input fan-out partition (docs/ARCHITECTURE.md §multi-host).
 
     Contiguous (not round-robin) so each host's output columns form one
-    frames-axis shard of the global result: exactly what a frames-sharded
-    ``NamedSharding`` expects from ``jax.make_array_from_process_local_data``
-    at the assembly point. Boundaries are chosen at chunk granularity,
-    balanced by frame count (chunks may be unequal after tail-merging)."""
+    frames-axis shard of the global result — and the stripe boundaries use
+    the SAME ceil-division jax's shardings use (shard h covers frames
+    ``[h*ceil(T/H), min((h+1)*ceil(T/H), T))``), splitting chunks at the
+    boundary, so ``jax.make_array_from_process_local_data`` receives
+    exactly the local shard it expects. Trailing hosts may get an EMPTY
+    stripe when T < (H-1)*ceil(T/H); consumers must handle zero chunks."""
     if host_count <= 1:
         return list(ranges)
     if not 0 <= host_index < host_count:
         raise ValueError(f"host_index {host_index} outside [0, {host_count})")
     total = sum(b - a for a, b in ranges)
-    # boundary after the chunk whose cumulative frame count first reaches
-    # i * total / host_count
-    bounds = [0]
+    shard = -(-total // host_count)
+    lo = min(host_index * shard, total)
+    hi = min(lo + shard, total)
+    out: List[Tuple[int, int]] = []
     acc = 0
-    target_idx = 1
-    for i, (a, b) in enumerate(ranges):
-        acc += b - a
-        while target_idx < host_count and acc >= target_idx * total / host_count:
-            bounds.append(i + 1)
-            target_idx += 1
-    while len(bounds) < host_count:
-        bounds.append(len(ranges))
-    bounds.append(len(ranges))
-    return list(ranges[bounds[host_index] : bounds[host_index + 1]])
+    for a, b in ranges:
+        n = b - a
+        s, e = max(acc, lo), min(acc + n, hi)
+        if s < e:
+            out.append((a + (s - acc), a + (e - acc)))
+        acc += n
+    return out
+
+
+def _cat_cols(results: List, n_rows: int):
+    """Column-concat per-chunk results; an EMPTY list (a trailing host's
+    empty multi-host stripe) yields the (n_rows, 0) shard the assembly
+    expects rather than an IndexError."""
+    if not results:
+        return jnp.zeros((int(n_rows), 0), jnp.float32)
+    return jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
 
 
 def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
@@ -878,8 +887,7 @@ class PMDLoader:
                 raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
                 results.append(fused_v_projection(raw2d, a_c, c))
             return self._assemble_global_v(
-                jnp.concatenate(results, axis=1) if len(results) > 1 else results[0],
-                mesh,
+                _cat_cols(results, a_c.shape[1]), mesh
             )
 
         order = self._order
@@ -926,8 +934,7 @@ class PMDLoader:
             out = kernel(a_tilde, c, raw)
             results.append(out[:, :t_c] if pad else out)
         return self._assemble_global_v(
-            jnp.concatenate(results, axis=1) if len(results) > 1 else results[0],
-            mesh_for_assembly,
+            _cat_cols(results, a_tilde.shape[1]), mesh_for_assembly
         )
 
     def _assemble_global_v(self, local_v: Array, mesh) -> Array:

@@ -57,7 +57,12 @@ def _roi_reconstruct(
     bg_rows:    (h*w, K) background basis rows for the ROI (K may be 0)
     bg_t:       (K, f) background temporal block
     """
-    contrib = jnp.matmul(panels_sub, t_sub, preferred_element_type=jnp.float32)
+    # HIGHEST: __getitem__ parity with the host CSR path it replaces (scipy
+    # products are f32-exact; default TPU precision is one-pass bf16)
+    contrib = jnp.matmul(
+        panels_sub, t_sub, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     f = contrib.shape[-1]
     # F-order panel row r = i + j*b1 -> image axes (i, j)
     img = contrib.reshape(-1, b2, b1, f).transpose(0, 2, 1, 3)  # (k,b1,b2,f)
@@ -70,7 +75,10 @@ def _roi_reconstruct(
     cc = jnp.where(cc < 0, w, cc)
     canvas = jnp.zeros((h, w, f), jnp.float32)
     canvas = canvas.at[rr[:, :, None], cc[:, None, :]].add(img, mode="drop")
-    bg = jnp.matmul(bg_rows, bg_t, preferred_element_type=jnp.float32)
+    bg = jnp.matmul(
+        bg_rows, bg_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return canvas + bg.reshape(h, w, f)
 
 
@@ -321,6 +329,7 @@ class PMDArray:
             rp * s[None, :],
             v[:, jnp.asarray(frame_idx)],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def _normalize_key3(self, key):
@@ -334,6 +343,26 @@ class PMDArray:
         if frames is None or k1 is None or k2 is None:
             raise ValueError("Cannot use None for indexing")
         return frames, k1, k2
+
+    def _slice_pixel_extent(self, used_rows) -> int:
+        """Pixels a device slicing chunk actually ALLOCATES for this
+        selection: the ROI bounding-box area on the geometry path (the
+        canvas is (h, w, f) however few pixels are selected), the full FOV
+        on the no-geometry fallback (full blocked matmul)."""
+        u = self._blocksparse
+        if u.starts is None or u.block_shape is None:
+            return self.fov_dim1 * self.fov_dim2
+        d1, d2 = self.fov_dim1, self.fov_dim2
+        if self.order == "F":
+            r = used_rows % d1
+            c = used_rows // d1
+        else:
+            r = used_rows // d2
+            c = used_rows % d2
+        return int(
+            (int(r.max()) - int(r.min()) + 1)
+            * (int(c.max()) - int(c.min()) + 1)
+        )
 
     def _slice_device_chunk(self, used_rows, frame_idx) -> jnp.ndarray:
         """Standardized (no mean/std) device reconstruction of the pixels in
@@ -411,8 +440,12 @@ class PMDArray:
             return np.zeros(out_shape, dtype=np.float32)
 
         # chunk the frame axis: bound the ROI canvas (h*w*f floats) so full-
-        # movie slices of long recordings never blow HBM
-        roi_pixels = max(1, int(used_rows.size))
+        # movie slices of long recordings never blow HBM. The budget divides
+        # by what the chunk ALLOCATES — the bounding-box area (or the full
+        # FOV on the no-geometry fallback), NOT the selected-pixel count:
+        # a strided/scattered selection like pmd[:, ::8, ::8] still builds
+        # the full-extent canvas.
+        roi_pixels = max(1, self._slice_pixel_extent(used_rows))
         per_chunk = max(1, _SLICE_CANVAS_BUDGET_BYTES // (4 * roi_pixels))
         var_dev = jnp.asarray(np.asarray(var_used, dtype=np.float32))[..., None]
         mean_dev = jnp.asarray(np.asarray(mean_used, dtype=np.float32))[..., None]
@@ -444,6 +477,10 @@ class PMDArray:
         frame_idx = np.atleast_1d(
             np.arange(self.num_frames)[self._parse_int_to_list(frames)]
         )
+        if used_rows.size == 0 or frame_idx.size == 0:
+            return jnp.zeros(
+                (int(frame_idx.size),) + used_rows.shape, jnp.float32
+            )
         std = self._slice_device_chunk(used_rows, frame_idx)
         return jnp.moveaxis(std * var_dev + mean_dev, -1, 0)
 

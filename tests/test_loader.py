@@ -190,21 +190,29 @@ class TestHostPartition:
 
     @pytest.mark.parametrize("total,chunk,hosts", [
         (30000, 1024, 4), (30000, 1024, 8), (1000, 300, 3), (5, 2, 4),
+        (2048, 1024, 8),  # more hosts than chunks: chunks split, tails empty
     ])
     def test_stripes_cover_disjoint_contiguous(self, total, chunk, hosts):
         from localmd_tpu.loader import _chunk_ranges, partition_ranges_for_host
 
         ranges = _chunk_ranges(total, chunk)
         stripes = [partition_ranges_for_host(ranges, h, hosts) for h in range(hosts)]
-        # concatenating the stripes reproduces the chunk list exactly
-        assert [r for s in stripes for r in s] == ranges
+        # stripes cover every frame exactly once, in order
+        flat = [f for s in stripes for a, b in s for f in range(a, b)]
+        assert flat == list(range(total))
         # contiguity: each stripe's frames form one interval
         for s in stripes:
             for (a1, b1_), (a2, _) in zip(s, s[1:]):
                 assert b1_ == a2
-        # balance: every host within one chunk of the ideal share
-        frames = [sum(b - a for a, b in s) for s in stripes]
-        assert max(frames) - min(frames) <= 2 * chunk
+        # stripe boundaries are jax's ceil-division shard boundaries, so
+        # the per-host columns ARE the frames-axis shards at assembly
+        shard = -(-total // hosts)
+        for h, s in enumerate(stripes):
+            lo, hi = min(h * shard, total), min((h + 1) * shard, total)
+            if lo == hi:
+                assert s == []
+            else:
+                assert s[0][0] == lo and s[-1][1] == hi
 
     def test_bad_host_index_raises(self):
         from localmd_tpu.loader import partition_ranges_for_host

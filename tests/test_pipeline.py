@@ -301,6 +301,24 @@ class TestDeviceSlicing:
     def test_empty_selection(self, pmd):
         out = pmd[[], 0:5, 0:5]
         assert out.shape == (0, 5, 5) or out.size == 0
+        # slice_device must take the same guard, not crash in r.min()
+        dev = pmd.slice_device([], [0, 1], [0])
+        assert dev.shape[0] == 0
+
+    def test_strided_slice_budget_uses_bbox_extent(self, pmd, monkeypatch):
+        # a strided selection allocates a FULL-extent canvas however few
+        # pixels it keeps; the frame-chunk budget must divide by the
+        # bounding-box area, not the selected-pixel count
+        ext = pmd._slice_pixel_extent(
+            np.asarray(pmd.row_indices[[0, 29], :][:, [0, 25]])
+        )
+        assert ext == 30 * 26  # 4 pixels selected, full-FOV bounding box
+        import localmd_tpu.pmd_array as pa
+
+        full = pmd[:, ::4, ::4]
+        monkeypatch.setattr(pa, "_SLICE_CANVAS_BUDGET_BYTES", 30 * 26 * 4 * 16)
+        chunked = pmd[:, ::4, ::4]
+        np.testing.assert_allclose(chunked, full, atol=1e-6)
 
 
 class TestAOTWarm:
