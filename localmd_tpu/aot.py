@@ -1,18 +1,26 @@
-"""Background AOT warm-compilation of the block-stage program.
+"""Background warm-compilation of pipeline stage programs.
 
 On tunneled/remote TPUs every distinct compiled program pays a one-time
 LOAD through the link on top of XLA compilation — for the fused window-0
 chunk program this dominated the north-star run's block stage (263 s cold
 vs 8.8 s with the program resident, BENCH_NORTHSTAR r03). Meanwhile the
-pipeline's FIRST phase — the statistics pass — is pure link time: the whole
-movie streams host->device with no compilation in flight.
+pipeline has long phases where the link or the device is otherwise busy
+and no compilation is in flight: the statistics pass and the V-regression
+pass are pure streaming, and the factorized-SVD chain is device compute.
 
-This module overlaps the two. As soon as the loader commits to its HBM
-cache plan (the first thing its stats pass does), the pipeline starts a
-daemon thread that lowers + compiles ``engine.window0_chunk_step`` for the
-exact shapes the block stage will use; by the time the block stage
-dispatches, the program is typically resident and the stage pays only
-compute.
+This module overlaps program compile+load with those phases, two ways:
+
+- :class:`BlockProgramWarmer`: as soon as the loader commits to its HBM
+  cache plan (the first thing its stats pass does), a daemon thread lowers
+  + compiles the block-stage program (``engine.window0_chunk_step`` or the
+  windowed multi-window loop) for the exact planned shapes, and the block
+  stage dispatches through the AOT executable on a geometry match.
+- :class:`StageWarmer`: later-stage programs (threshold Monte-Carlo,
+  factorized-SVD eigensolver, V-projection chunk kernel, final-reformat
+  SVD) are warmed by EXECUTING them on daemon threads — the real memoized
+  computation where it is data-independent, zero-filled dummies at the
+  exact stage shapes otherwise — as soon as each one's shapes are known
+  (pipeline start; the block-stage counts sync; the projector's avals).
 
 Correctness is never at stake: the precompiled executable IS the program
 the traced call would build (same statics, same shapes), and it is used
@@ -67,15 +75,29 @@ class BlockProgramWarmer:
         temporal_denoiser: Callable,
         t_used: int,
         device=None,
+        kind: str = "single",
+        n_windows: int = 0,
+        window_length: int = 0,
     ) -> None:
-        """Begin compiling in the background for the given geometry."""
+        """Begin compiling in the background for the given geometry.
+
+        ``kind="single"`` compiles the fused window-0 chunk program (takes
+        the whole init movie; gathers patches inside). ``kind="multi"``
+        compiles the windowed incremental-basis loop program (takes a
+        pre-gathered (bb, b1, b2, t_data) patch batch and per-(window,
+        block) keys)."""
         if self._thread is not None:
             return
+        self.kind = kind
+        if kind == "multi":
+            shape_key = (bb, b1, b2, t_data)
+        else:
+            shape_key = (d1, d2, t_data)
         self._plan = (
-            (d1, d2, t_data), bb,
+            shape_key, bb,
             (b1, b2, max_components, temporal_avg_factor, spatial_avg_factor,
              max_consecutive_failures, spatial_denoiser, temporal_denoiser,
-             t_used),
+             t_used, kind, n_windows, window_length),
         )
 
         # jax config contexts (default_matmul_precision, default_device) are
@@ -90,17 +112,32 @@ class BlockProgramWarmer:
 
         def _compile():
             try:
-                args = (
-                    jax.ShapeDtypeStruct((d1, d2, t_data), jnp.float32),
-                    jax.ShapeDtypeStruct((bb, 2), jnp.int32),
-                    jax.ShapeDtypeStruct((bb, 2), jnp.uint32),
-                    b1, b2, max_components,
-                    temporal_avg_factor, spatial_avg_factor,
-                    jax.ShapeDtypeStruct((), jnp.float32),
-                    jax.ShapeDtypeStruct((), jnp.float32),
-                    max_consecutive_failures,
-                    spatial_denoiser, temporal_denoiser, t_used,
-                )
+                if kind == "multi":
+                    fn = engine._windowed_loop_jit(
+                        n_windows, window_length, max_components,
+                        temporal_avg_factor, spatial_avg_factor,
+                        max_consecutive_failures,
+                        spatial_denoiser, temporal_denoiser,
+                    )
+                    args = (
+                        jax.ShapeDtypeStruct((bb, b1, b2, t_data), jnp.float32),
+                        jax.ShapeDtypeStruct((n_windows, bb, 2), jnp.uint32),
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                    )
+                else:
+                    fn = engine.window0_chunk_step
+                    args = (
+                        jax.ShapeDtypeStruct((d1, d2, t_data), jnp.float32),
+                        jax.ShapeDtypeStruct((bb, 2), jnp.int32),
+                        jax.ShapeDtypeStruct((bb, 2), jnp.uint32),
+                        b1, b2, max_components,
+                        temporal_avg_factor, spatial_avg_factor,
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                        max_consecutive_failures,
+                        spatial_denoiser, temporal_denoiser, t_used,
+                    )
                 from contextlib import ExitStack
 
                 with ExitStack() as stack:
@@ -110,9 +147,7 @@ class BlockProgramWarmer:
                         stack.enter_context(
                             jax.default_matmul_precision(precision)
                         )
-                    self._compiled = engine.window0_chunk_step.lower(
-                        *args
-                    ).compile()
+                    self._compiled = fn.lower(*args).compile()
             except Exception as e:  # noqa: BLE001 - warm-up must never kill a run
                 self.compile_error = e
                 logger.debug("background AOT compile failed: %s", e)
@@ -145,16 +180,94 @@ class BlockProgramWarmer:
     def __call__(self, data, starts, keys, spatial_threshold, temporal_threshold):
         """Dispatch through the precompiled executable. Thresholds may be
         host floats (checkpointed runs) or device scalars; AOT executables
-        are strict about argument avals, so coerce to () float32."""
-        out = self._compiled(
-            data,
-            starts,
-            keys,
-            jnp.asarray(spatial_threshold, jnp.float32),
-            jnp.asarray(temporal_threshold, jnp.float32),
-        )
+        are strict about argument avals, so coerce to () float32.
+
+        kind="single": ``data`` is the init movie, ``starts`` the patch
+        offsets. kind="multi": ``data`` is the pre-gathered patch batch and
+        ``starts`` is ignored (pass None)."""
+        sthr = jnp.asarray(spatial_threshold, jnp.float32)
+        tthr = jnp.asarray(temporal_threshold, jnp.float32)
+        if getattr(self, "kind", "single") == "multi":
+            out = self._compiled(data, keys, sthr, tthr)
+        else:
+            out = self._compiled(data, starts, keys, sthr, tthr)
         self.used = True
         return out
+
+
+class StageWarmer:
+    """Warms later-stage pipeline programs on daemon threads by EXECUTING
+    them — either the real (memoized) computation, or zero-filled dummies
+    at the exact shapes the stage will use.
+
+    Unlike :class:`BlockProgramWarmer`, which hands an AOT executable to its
+    dispatch site, warming here relies on jit's process-global trace and
+    executable caches: by the time the stage makes the identical call, the
+    program is compiled AND loaded on the device, so the stage pays only
+    compute. On tunneled/remote TPUs the one-time per-process program load
+    is 10-200 s per distinct program (BUILD_NOTES) and otherwise serializes
+    with the pipeline's streaming passes — e.g. the north-star run's
+    final-reformat programs loaded for ~79 s AFTER the V-regression stream
+    finished, with the link idle the whole time.
+
+    Results are never at stake: a dummy execution computes garbage that is
+    thrown away (only the cache entry matters), the caller's thread-local
+    jax configs (matmul precision, default device — both part of program
+    identity) are replayed in the worker, and any failure is swallowed —
+    the stage then pays its own compile+load, exactly as without warming.
+    """
+
+    def __init__(self, device=None):
+        self._device = device
+        self._threads: dict = {}
+        self.completed: list = []
+        self.errors: dict = {}
+
+    def start(self, name: str, fn: Callable[[], object]) -> None:
+        """Run ``fn()`` on a daemon thread under the caller's jax configs.
+        A second ``start`` with the same name is a no-op (warm sites may
+        fire once on a shape prediction and again with exact shapes —
+        include the shapes in ``name`` so only a mispredicted warm reruns).
+        """
+        if name in self._threads:
+            return
+        try:
+            precision = jax.config.jax_default_matmul_precision
+        except AttributeError:  # pragma: no cover - config name drift
+            precision = None
+        device = self._device
+
+        def _run():
+            try:
+                from contextlib import ExitStack
+
+                with ExitStack() as stack:
+                    if device is not None:
+                        stack.enter_context(jax.default_device(device))
+                    if precision is not None:
+                        stack.enter_context(
+                            jax.default_matmul_precision(precision)
+                        )
+                    jax.block_until_ready(fn())
+                self.completed.append(name)
+            except Exception as e:  # noqa: BLE001 - warming must never kill a run
+                self.errors[name] = e
+                logger.debug("stage warm %r failed: %s", name, e)
+
+        t = threading.Thread(
+            target=_run, name=f"localmd-warm-{name}", daemon=True
+        )
+        self._threads[name] = t
+        t.start()
+
+    def join(self, name: str, timeout: Optional[float] = None) -> None:
+        """Wait for one warm to finish (no-op for names never started).
+        Used where the stage's own call would redo the warm's exact work
+        (the memoized threshold Monte-Carlo): joining reuses it instead of
+        racing a duplicate computation."""
+        t = self._threads.get(name)
+        if t is not None:
+            t.join(timeout)
 
 
 def plan_block_stage(
@@ -176,8 +289,10 @@ def plan_block_stage(
     statistics pass streams: dataset shape, the pipeline's deterministic
     clamp chain (mirrors localmd_decomposition's t_init / max_components /
     crop logic — none of it consumes RNG), and the loader's committed HBM
-    cache plan. Returns None when the single-window fused path won't be
-    taken (multi-window runs load several smaller programs instead).
+    cache plan. The returned dict's ``kind`` selects which program to warm:
+    "single" (the fused window-0 chunk step) or "multi" (the windowed
+    incremental-basis loop), with ``n_windows``/``window_length`` set for
+    the latter.
 
     The prediction only gates a background warm-compile; the dispatch-time
     shape check in :meth:`BlockProgramWarmer.get` is what guarantees the
@@ -213,8 +328,15 @@ def plan_block_stage(
     if max_components <= 0:
         return None
     crop_avg_constant = (t_init // temporal_avg_factor) * temporal_avg_factor
-    if min(wc, crop_avg_constant) < crop_avg_constant:
-        return None  # multi-window path
+    window_len = min(wc, crop_avg_constant)
+    if window_len < crop_avg_constant:
+        kind = "multi"
+        wl_eff = engine.effective_window_length(
+            window_len, crop_avg_constant, temporal_avg_factor
+        )
+        n_windows = len(range(0, crop_avg_constant, wl_eff))
+    else:
+        kind, wl_eff, n_windows = "single", 0, 0
 
     n_blocks = block_grid(d1, d2, (b1, b2)).n_blocks
     # mirror the pipeline's batch-size budget (nominal-HBM branch; the
@@ -250,4 +372,5 @@ def plan_block_stage(
         d1=d1, d2=d2, t_data=t_init, bb=bb, b1=b1, b2=b2,
         max_components=max_components,
         crop_avg_constant=crop_avg_constant,
+        kind=kind, n_windows=n_windows, window_length=wl_eff,
     )

@@ -322,19 +322,66 @@ def localmd_decomposition(
     # the predicted geometry. "auto" enables it off-CPU; results are
     # identical either way (dispatch falls back on any geometry mismatch).
     warmer = None
+    stage_warmer = None
     stats_hook = None
     aot_enabled = aot_warm is True or (
         aot_warm == "auto" and jax.default_backend() not in ("cpu",)
     )
-    if aot_enabled and mesh is None and not ckpt.has("blocks"):
-        from localmd_tpu.aot import BlockProgramWarmer, plan_block_stage
+    if aot_enabled:
+        from localmd_tpu.aot import (
+            BlockProgramWarmer,
+            StageWarmer,
+            plan_block_stage,
+        )
         from localmd_tpu.utils import ambient_device, ambient_device_or_first
 
-        warmer = BlockProgramWarmer()
+        stage_warmer = StageWarmer(device=ambient_device())
+        if mesh is None and not ckpt.has("blocks"):
+            warmer = BlockProgramWarmer()
         _orig_window_chunks = window_chunks  # pre-normalization values
         _orig_frame_range = frame_range
 
         def stats_hook(loader, cache_target):
+            # Thresholds are a data-INDEPENDENT Monte-Carlo on pure noise
+            # (engine.threshold_heuristic), memoized on host-side tokens:
+            # compute them for real while the stats pass streams — the
+            # main-thread call below then hits the memo. The subkey is the
+            # first split of the pipeline key, reproduced here without
+            # consuming the pipeline's copy (jax.random.split is pure).
+            if not ckpt.has("thresholds"):
+                t0_w, d1_w, d2_w = (int(x) for x in loader.shape)
+                fr_w = min(_orig_frame_range, t0_w)
+                wc_w = (
+                    _orig_frame_range
+                    if _orig_window_chunks is None
+                    else _orig_window_chunks
+                )
+                wc_w = min(wc_w, fr_w)
+                try:
+                    b1_w, b2_w = update_block_sizes(
+                        tuple(block_sizes), (d1_w, d2_w)
+                    )
+                except ValueError:
+                    b1_w = None
+                if b1_w is not None:
+                    # bind the key VALUE now: the main thread rebinds the
+                    # ``key`` variable at its own thresholds split, and the
+                    # warm thread may run after that
+                    def _warm_thresholds(key_now=key):
+                        _, sub_w = jax.random.split(key_now)
+                        threshold_heuristic(
+                            (b1_w, b2_w, wc_w),
+                            num_comps=1,
+                            iters=sim_iters,
+                            percentile_threshold=sim_conf,
+                            key=sub_w,
+                            as_device=checkpoint_path is None,
+                            cache_token=("pipeline-thr", effective_seed),
+                        )
+
+                    stage_warmer.start("thresholds", _warm_thresholds)
+            if warmer is None:
+                return
             resident_bytes = 0
             if loader._device_resident:
                 arr = loader.dataset._array
@@ -357,7 +404,14 @@ def localmd_decomposition(
             )
             if plan is not None:
                 warmer.start(
-                    d1=plan["d1"], d2=plan["d2"], t_data=plan["t_data"],
+                    d1=plan["d1"], d2=plan["d2"],
+                    # multi-window programs take the pre-gathered patch
+                    # batch, whose time dim is the binning-cropped length
+                    t_data=(
+                        plan["crop_avg_constant"]
+                        if plan["kind"] == "multi"
+                        else plan["t_data"]
+                    ),
                     bb=plan["bb"], b1=plan["b1"], b2=plan["b2"],
                     max_components=plan["max_components"],
                     temporal_avg_factor=temporal_avg_factor,
@@ -366,6 +420,8 @@ def localmd_decomposition(
                     spatial_denoiser=sden, temporal_denoiser=tden,
                     t_used=plan["crop_avg_constant"],
                     device=ambient_device(),
+                    kind=plan["kind"], n_windows=plan["n_windows"],
+                    window_length=plan["window_length"],
                 )
 
     load_obj = PMDLoader(
@@ -425,6 +481,10 @@ def localmd_decomposition(
         temporal_threshold = float(thr["temporal_threshold"])
     else:
         display(f"Running threshold simulations for blocks {b1} x {b2} x {window_chunks}")
+        if stage_warmer is not None:
+            # reuse the Monte-Carlo the warm thread ran during the stats
+            # pass (identical memo key) instead of racing a duplicate
+            stage_warmer.join("thresholds")
         # device scalars: no host sync between the simulation and the block
         # stage (the block kernels take thresholds as traced args). With
         # checkpointing enabled the save below would force the sync anyway,
@@ -601,7 +661,7 @@ def localmd_decomposition(
                 int(starts_batch.shape[0]),
                 (b1, b2, max_components, temporal_avg_factor,
                  spatial_avg_factor, max_consecutive_failures, sden, tden,
-                 crop_avg_constant),
+                 crop_avg_constant, "single", 0, 0),
             )
             if compiled is not None:
                 try:
@@ -643,6 +703,23 @@ def localmd_decomposition(
         # per chunk (device-side early-stop); with a mesh the block
         # axis is shard_map'd (see parallel.sharded.sharded_windowed_pmd).
         patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
+        if mesh is None and warmer is not None:
+            compiled = warmer.get(
+                patch_batch.shape,
+                int(starts_batch.shape[0]),
+                (b1, b2, max_components, temporal_avg_factor,
+                 spatial_avg_factor, max_consecutive_failures, sden, tden,
+                 crop_avg_constant, "multi", n_windows_global, wl_eff),
+            )
+            if compiled is not None:
+                try:
+                    acc_c, counts_c, v_c = warmer(
+                        patch_batch, None, keys_batch,
+                        spatial_threshold, temporal_threshold,
+                    )
+                    return engine.WindowedPMDResult(acc_c, counts_c, v_c)
+                except TypeError:
+                    pass
         return windowed_pmd_batched(
             patch_batch,
             keys_batch,
@@ -805,6 +882,73 @@ def localmd_decomposition(
     if rank_prune and (rank_prune_factor <= 0 or rank_prune_factor > 1):
         raise ValueError("rank_prune_factor must be in (0, 1]")
 
+    # -- background warm of the downstream stages' programs --------------------
+    # total_rank is on host now, so every later program shape is computable:
+    # warm (dummy-execute at exact shapes, localmd_tpu.aot.StageWarmer) the
+    # factorized-SVD eigensolver, the V-projection chunk kernel, and the
+    # final-reformat SVD while the projector chain computes and the
+    # V-regression pass streams. Shapes are predicted here by mirroring
+    # compute_lowrank_factorized_svd's branch logic; after ``p`` exists the
+    # same warms re-fire with exact shapes (deduped by name on a hit, so a
+    # misprediction only costs one wasted dummy program).
+    r_rows_w = int(v_cropped.shape[0])
+
+    def _start_downstream_warms(k_val: int) -> None:
+        if stage_warmer is None or mesh is not None or k_val <= 0:
+            return
+
+        def _warm_final():
+            from localmd_tpu.ops.linalg import projected_svd
+
+            return projected_svd(
+                jnp.zeros((r_rows_w, k_val), jnp.float32),
+                jnp.zeros((k_val, int(t_total)), jnp.float32),
+            )
+
+        stage_warmer.start(f"final:{k_val}", _warm_final)
+        if not ckpt.has("v") and jax.default_backend() not in ("cpu",):
+            raw_dt = np.dtype(
+                getattr(load_obj.dataset, "raw_dtype", None)
+                or load_obj.dataset.dtype
+            )
+            chunk_t = int(min(load_obj._stream_chunk_frames(), t_total))
+
+            def _warm_vproj():
+                from localmd_tpu.ops.pallas_kernels import fused_v_projection
+
+                return fused_v_projection(
+                    jnp.zeros((chunk_t, d1 * d2), raw_dt),
+                    jnp.zeros((d1 * d2, k_val), jnp.float32),
+                    jnp.zeros((k_val,), jnp.float32),
+                )
+
+            stage_warmer.start(f"vproj:{chunk_t}x{k_val}", _warm_vproj)
+
+    if stage_warmer is not None and mesh is None and not ckpt.has("projector"):
+        t_used_w = int(v_cropped.shape[1])
+        if rank_prune:
+            t_eff_w = int(min(total_rank + k_bg, t_used_w) * rank_prune_factor)
+        else:
+            t_eff_w = t_used_w
+        m_quad_w = t_eff_w if r_rows_w > t_eff_w else r_rows_w
+        k_w = min(total_rank + k_bg, m_quad_w)
+        k_sketch_w = min(m_quad_w, k_w + 32)
+        if m_quad_w > 0:
+
+            def _warm_eigh():
+                from localmd_tpu.ops.linalg import (
+                    eigh_descending,
+                    subspace_eigh,
+                )
+
+                q = jnp.zeros((m_quad_w, m_quad_w), jnp.float32)
+                if 4 * k_sketch_w <= 3 * m_quad_w and m_quad_w >= 512:
+                    return subspace_eigh(q, k_sketch_w)
+                return eigh_descending(q)
+
+            stage_warmer.start(f"fsvd-eigh:{m_quad_w}x{k_sketch_w}", _warm_eigh)
+        _start_downstream_warms(k_w)
+
     def _compute_projector():
         if ckpt.has("projector"):
             display("Resuming: mixing matrix loaded from checkpoint")
@@ -840,6 +984,10 @@ def localmd_decomposition(
             # sync on the critical path); true rank surfaces after
             # final_rank_tol pruning.
             display(f"Rank after reduction: <= {p.shape[1]}")
+            # exact-shape warm of the V-projection kernel + final-reformat
+            # SVD: loads hide behind the V-regression stream (no-op when
+            # the predicted warm above already matched these shapes)
+            _start_downstream_warms(int(p.shape[1]))
             _mark("factorized_svd")
             if ckpt.has("v"):
                 display("Resuming: V regression loaded from checkpoint")
@@ -894,6 +1042,12 @@ def localmd_decomposition(
         "enabled": warmer is not None,
         "used": bool(warmer.used) if warmer is not None else False,
     }
+    # stage warms COMPLETED by now (threads may still be draining for tiny
+    # movies — purely diagnostic, the stages never wait on these)
+    out.pipeline_warm = {
+        "completed": list(stage_warmer.completed),
+        "errors": {k: str(e) for k, e in stage_warmer.errors.items()},
+    } if stage_warmer is not None else {"completed": [], "errors": {}}
     out.pipeline_ranks = {
         "blockwise": int(total_rank),
         "pre_reduction": int(total_rank + k_bg),

@@ -355,13 +355,14 @@ class TestAOTWarm:
             max_consecutive_failures=1, spatial_denoiser=identity,
             temporal_denoiser=identity, t_used=400,
         )
-        statics = (10, 10, 6, 5, 2, 1, identity, identity, 400)
+        statics = (10, 10, 6, 5, 2, 1, identity, identity, 400, "single", 0, 0)
         assert w.get((40, 40, 400), 16, statics) is None  # bb mismatch
         assert w.get((40, 40, 300), 32, statics) is None  # shape mismatch
-        assert w.get((40, 40, 400), 32, statics[:-1] + (390,)) is None
+        bad_t_used = statics[:8] + (390,) + statics[9:]
+        assert w.get((40, 40, 400), 32, bad_t_used) is None
         assert w.get((40, 40, 400), 32, statics) is not None
 
-    def test_multiwindow_plan_declines(self):
+    def test_multiwindow_plan_geometry(self):
         from localmd_tpu.aot import plan_block_stage
 
         import jax
@@ -373,7 +374,78 @@ class TestAOTWarm:
             cache_target_frames=0, cache_itemsize=2,
             device_resident_bytes=0, device=jax.devices()[0],
         )
-        assert plan is None  # multi-window path loads different programs
+        assert plan is not None and plan["kind"] == "multi"
+        # 400 init frames, window 100 -> 4 windows of the binning-rounded
+        # length
+        assert plan["window_length"] == 100
+        assert plan["n_windows"] == 4
+        assert plan["crop_avg_constant"] == 400
+
+    def test_multiwindow_aot_used_and_identical(self, rng):
+        kw = dict(
+            block_sizes=(10, 10), frame_range=400, window_chunks=100,
+            max_components=6, background_rank=2, temporal_avg_factor=5,
+            sim_iters=20, seed=0, block_batch_size=16,
+        )
+        movie = make_low_rank_movie(4, (400, 40, 40), rng, noise=0.3)
+        off = localmd_decomposition(movie, aot_warm=False, **kw)
+        on = localmd_decomposition(movie, aot_warm=True, **kw)
+        assert on.pipeline_aot == {"enabled": True, "used": True}
+        np.testing.assert_allclose(on[5], off[5], atol=1e-6)
+        np.testing.assert_allclose(on.s, off.s, rtol=1e-6)
+
+    def test_stage_warms_run_and_match(self, rng):
+        # the downstream-stage warmer must (a) actually fire, (b) never
+        # error, (c) leave results bit-identical, and (d) predict the
+        # final-reformat shapes correctly at the counts sync (a correct
+        # prediction means the exact-shape re-fire after ``p`` dedupes,
+        # so exactly ONE final:<k> name appears)
+        movie = make_low_rank_movie(4, (400, 40, 40), rng, noise=0.3)
+        off = localmd_decomposition(movie, aot_warm=False, **self.KW)
+        on = localmd_decomposition(movie, aot_warm=True, **self.KW)
+        assert on.pipeline_warm["errors"] == {}
+        assert off.pipeline_warm == {"completed": [], "errors": {}}
+        # thresholds warm is joined before the main threshold call, so it
+        # is always complete by pipeline return
+        assert "thresholds" in on.pipeline_warm["completed"]
+        finals = [
+            n for n in on.pipeline_warm["completed"] if n.startswith("final:")
+        ]
+        assert finals == [f"final:{on.pipeline_ranks['reduced']}"] or not finals
+        np.testing.assert_allclose(on[5], off[5], atol=1e-6)
+        np.testing.assert_allclose(on.s, off.s, rtol=1e-6)
+
+    def test_stage_warmer_swallow_and_dedup(self):
+        import threading
+
+        from localmd_tpu.aot import StageWarmer
+
+        w = StageWarmer()
+        seen = []
+        evt = threading.Event()
+
+        def boom():
+            raise RuntimeError("warm failure must be swallowed")
+
+        def ok():
+            seen.append(1)
+            evt.set()
+            return jnp_zeros_scalar()
+
+        def jnp_zeros_scalar():
+            import jax.numpy as jnp
+
+            return jnp.zeros(())
+
+        w.start("boom", boom)
+        w.start("ok", ok)
+        w.start("ok", ok)  # dedup: must not run twice
+        w.join("boom")
+        w.join("ok")
+        w.join("never-started")  # no-op
+        assert evt.wait(5) and seen == [1]
+        assert "ok" in w.completed and "boom" in w.errors
+        assert "boom" not in w.completed
 
     def test_plan_matches_pipeline_clamps(self):
         # the planner mirrors the pipeline's deterministic max_components /
