@@ -159,6 +159,8 @@ def main():
                     "frames": t,
                     "final_rank": pmd.rank,
                     "stage_timings_s": getattr(pmd, "pipeline_timings", None),
+                    "aot": getattr(pmd, "pipeline_aot", None),
+                    "stage_warms": getattr(pmd, "pipeline_warm", None),
                     **legs,
                 },
             }
