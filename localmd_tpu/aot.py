@@ -36,6 +36,7 @@ program-load cost model); this is the rebuild's own pipeline optimization.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 from typing import Callable, Optional
 
 import jax
@@ -45,6 +46,51 @@ from localmd_tpu import engine
 from localmd_tpu.utils import get_logger
 
 logger = get_logger()
+
+
+def snapshot_jax_program_configs():
+    """The caller's thread-local jax configs that are part of compiled-
+    program identity (today: default matmul precision; the default device
+    is snapshotted separately by each warmer since it is also a routing
+    decision). Shared by both warmers so a future addition (e.g. a renamed
+    config attr) cannot drift between them."""
+    try:
+        return jax.config.jax_default_matmul_precision
+    except AttributeError:  # pragma: no cover - config name drift
+        return None
+
+
+@contextmanager
+def replay_jax_program_configs(device, precision):
+    """Re-enter the snapshotted configs on a worker thread. jax config
+    contexts are THREAD-LOCAL: without this, a matmul_precision="highest"
+    run would silently warm a default-precision (one-pass bf16) program —
+    shape checks cannot see precision."""
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        if device is not None:
+            stack.enter_context(jax.default_device(device))
+        if precision is not None:
+            stack.enter_context(jax.default_matmul_precision(precision))
+        yield
+
+
+def normalized_init_geometry(shape, frame_range, window_chunks, block_sizes):
+    """(frame_range_eff, window_chunks_eff, b1, b2) after the pipeline's
+    deterministic pre-init clamp chain (mirrors localmd_decomposition's
+    frame-sampling normalization — none of it consumes RNG). Shared by the
+    block-stage planner and the threshold warm site so their mirrors of the
+    pipeline cannot drift from each other. Raises ValueError when the FOV
+    is smaller than the minimum block size (update_block_sizes)."""
+    from localmd_tpu.ops.tiling import update_block_sizes
+
+    t_total, d1, d2 = (int(x) for x in shape)
+    fr = min(frame_range, t_total)
+    wc = frame_range if window_chunks is None else window_chunks
+    wc = min(wc, fr)
+    b1, b2 = update_block_sizes(tuple(block_sizes), (d1, d2))
+    return fr, wc, b1, b2
 
 
 class BlockProgramWarmer:
@@ -100,15 +146,7 @@ class BlockProgramWarmer:
              t_used, kind, n_windows, window_length),
         )
 
-        # jax config contexts (default_matmul_precision, default_device) are
-        # THREAD-LOCAL: snapshot the caller's effective values here and
-        # re-enter them in the worker, or a matmul_precision="highest" run
-        # would silently get a default-precision (one-pass bf16) block
-        # program — the geometry check cannot see precision.
-        try:
-            precision = jax.config.jax_default_matmul_precision
-        except AttributeError:  # pragma: no cover - config name drift
-            precision = None
+        precision = snapshot_jax_program_configs()
 
         def _compile():
             try:
@@ -138,15 +176,7 @@ class BlockProgramWarmer:
                         max_consecutive_failures,
                         spatial_denoiser, temporal_denoiser, t_used,
                     )
-                from contextlib import ExitStack
-
-                with ExitStack() as stack:
-                    if device is not None:
-                        stack.enter_context(jax.default_device(device))
-                    if precision is not None:
-                        stack.enter_context(
-                            jax.default_matmul_precision(precision)
-                        )
+                with replay_jax_program_configs(device, precision):
                     self._compiled = fn.lower(*args).compile()
             except Exception as e:  # noqa: BLE001 - warm-up must never kill a run
                 self.compile_error = e
@@ -231,23 +261,12 @@ class StageWarmer:
         """
         if name in self._threads:
             return
-        try:
-            precision = jax.config.jax_default_matmul_precision
-        except AttributeError:  # pragma: no cover - config name drift
-            precision = None
+        precision = snapshot_jax_program_configs()
         device = self._device
 
         def _run():
             try:
-                from contextlib import ExitStack
-
-                with ExitStack() as stack:
-                    if device is not None:
-                        stack.enter_context(jax.default_device(device))
-                    if precision is not None:
-                        stack.enter_context(
-                            jax.default_matmul_precision(precision)
-                        )
+                with replay_jax_program_configs(device, precision):
                     jax.block_until_ready(fn())
                 self.completed.append(name)
             except Exception as e:  # noqa: BLE001 - warming must never kill a run
@@ -267,6 +286,13 @@ class StageWarmer:
         racing a duplicate computation."""
         t = self._threads.get(name)
         if t is not None:
+            t.join(timeout)
+
+    def join_all(self, timeout: Optional[float] = None) -> None:
+        """Drain every warm thread (tests/diagnostics only — the pipeline
+        never blocks on stray warms: a mispredicted warm may hold a
+        program load for minutes on a tunneled TPU)."""
+        for t in list(self._threads.values()):
             t.join(timeout)
 
 
@@ -299,21 +325,20 @@ def plan_block_stage(
     precompiled program is byte-compatible with the actual call.
     """
     from localmd_tpu.loader import nominal_hbm_bytes
-    from localmd_tpu.ops.tiling import block_grid, update_block_sizes
+    from localmd_tpu.ops.tiling import block_grid
 
     t_total, d1, d2 = (int(x) for x in shape)
-    wc = frame_range if window_chunks is None else window_chunks
-    if t_total < frame_range:
-        t_init = t_total
-        wc = min(wc, t_total)
-    else:
-        wc = min(wc, frame_range)
-        # identify_window_chunks emits num_intervals chunks of wc frames
-        t_init = -(-frame_range // wc) * wc
     try:
-        b1, b2 = update_block_sizes(tuple(block_sizes), (d1, d2))
+        fr, wc, b1, b2 = normalized_init_geometry(
+            shape, frame_range, window_chunks, block_sizes
+        )
     except ValueError:
         return None
+    if t_total < frame_range:
+        t_init = t_total
+    else:
+        # identify_window_chunks emits num_intervals chunks of wc frames
+        t_init = -(-frame_range // wc) * wc
     if temporal_avg_factor >= t_init:
         return None
     if t_init // temporal_avg_factor <= max_components:

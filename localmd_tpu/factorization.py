@@ -93,6 +93,25 @@ def _gram_quadratic_mesh(
     )
 
 
+def eigh_plan(m: int, k: int) -> Tuple[str, int]:
+    """Which eigensolver ``compute_lowrank_factorized_svd`` uses for an
+    (m, m) Gram with host-known rank bound ``k``: ("subspace", k_sketch) or
+    ("full", k_sketch).
+
+    rank(quad) <= rank(U) <= k, so when that bound sits well below m a
+    randomized range capture replaces the full (m, m) eigh exactly (up to
+    f32): 694 ms -> 34 ms at m=4000 on v5e. The +32 margin keeps the f32
+    range capture comfortably overcomplete. This selection is a separate
+    function because the pipeline's background stage warmer
+    (aot.StageWarmer) must compile the SAME program this module will
+    dispatch — keep any tuning here, not inline.
+    """
+    k_sketch = min(m, k + 32)
+    if 4 * k_sketch <= 3 * m and m >= 512:
+        return "subspace", k_sketch
+    return "full", k_sketch
+
+
 def compute_lowrank_factorized_svd(
     u: Union[BlockSparseMatrix, "scipy.sparse.spmatrix"],
     v: Array,
@@ -142,12 +161,8 @@ def compute_lowrank_factorized_svd(
 
     if expected_rank is not None:
         k = min(int(expected_rank), m)
-        # rank(quad) <= rank(U) <= expected_rank, so when that bound sits
-        # well below m a randomized range capture replaces the full (m, m)
-        # eigh exactly (up to f32): 694 ms -> 34 ms at m=4000 on v5e. The
-        # +32 margin keeps the f32 range capture comfortably overcomplete.
-        k_sketch = min(m, k + 32)
-        if 4 * k_sketch <= 3 * m and m >= 512:
+        solver, k_sketch = eigh_plan(m, k)
+        if solver == "subspace":
             eig_vals, eig_vecs = subspace_eigh(quad, k_sketch)
         else:
             eig_vals, eig_vecs = eigh_descending(quad)

@@ -349,17 +349,12 @@ def localmd_decomposition(
             # first split of the pipeline key, reproduced here without
             # consuming the pipeline's copy (jax.random.split is pure).
             if not ckpt.has("thresholds"):
-                t0_w, d1_w, d2_w = (int(x) for x in loader.shape)
-                fr_w = min(_orig_frame_range, t0_w)
-                wc_w = (
-                    _orig_frame_range
-                    if _orig_window_chunks is None
-                    else _orig_window_chunks
-                )
-                wc_w = min(wc_w, fr_w)
+                from localmd_tpu.aot import normalized_init_geometry
+
                 try:
-                    b1_w, b2_w = update_block_sizes(
-                        tuple(block_sizes), (d1_w, d2_w)
+                    _, wc_w, b1_w, b2_w = normalized_init_geometry(
+                        loader.shape, _orig_frame_range,
+                        _orig_window_chunks, block_sizes,
                     )
                 except ValueError:
                     b1_w = None
@@ -907,10 +902,14 @@ def localmd_decomposition(
 
         stage_warmer.start(f"final:{k_val}", _warm_final)
         if not ckpt.has("v") and jax.default_backend() not in ("cpu",):
-            raw_dt = np.dtype(
-                getattr(load_obj.dataset, "raw_dtype", None)
-                or load_obj.dataset.dtype
-            )
+            # READ dtype, not raw_dtype: TiffArray reads return float32
+            # while its raw_dtype reports the on-disk dtype — the Pallas
+            # chunk program's identity follows what v_projection actually
+            # receives. The dummy chunk is bounded by the SAME
+            # _stream_chunk_frames transient budget every chunked path
+            # uses (HBM/16, 1 GiB floor), inside the loader's
+            # cache_reserve headroom.
+            raw_dt = np.dtype(load_obj.dataset.dtype)
             chunk_t = int(min(load_obj._stream_chunk_frames(), t_total))
 
             def _warm_vproj():
@@ -922,7 +921,9 @@ def localmd_decomposition(
                     jnp.zeros((k_val,), jnp.float32),
                 )
 
-            stage_warmer.start(f"vproj:{chunk_t}x{k_val}", _warm_vproj)
+            stage_warmer.start(
+                f"vproj:{chunk_t}x{k_val}:{raw_dt.name}", _warm_vproj
+            )
 
     if stage_warmer is not None and mesh is None and not ckpt.has("projector"):
         t_used_w = int(v_cropped.shape[1])
@@ -932,8 +933,10 @@ def localmd_decomposition(
             t_eff_w = t_used_w
         m_quad_w = t_eff_w if r_rows_w > t_eff_w else r_rows_w
         k_w = min(total_rank + k_bg, m_quad_w)
-        k_sketch_w = min(m_quad_w, k_w + 32)
         if m_quad_w > 0:
+            from localmd_tpu.factorization import eigh_plan
+
+            solver_w, k_sketch_w = eigh_plan(m_quad_w, k_w)
 
             def _warm_eigh():
                 from localmd_tpu.ops.linalg import (
@@ -942,7 +945,7 @@ def localmd_decomposition(
                 )
 
                 q = jnp.zeros((m_quad_w, m_quad_w), jnp.float32)
-                if 4 * k_sketch_w <= 3 * m_quad_w and m_quad_w >= 512:
+                if solver_w == "subspace":
                     return subspace_eigh(q, k_sketch_w)
                 return eigh_descending(q)
 
@@ -1043,11 +1046,13 @@ def localmd_decomposition(
         "used": bool(warmer.used) if warmer is not None else False,
     }
     # stage warms COMPLETED by now (threads may still be draining for tiny
-    # movies — purely diagnostic, the stages never wait on these)
+    # movies — purely diagnostic, the stages never wait on these). Tests
+    # needing a deterministic view join via the live warmer handle.
     out.pipeline_warm = {
         "completed": list(stage_warmer.completed),
         "errors": {k: str(e) for k, e in stage_warmer.errors.items()},
     } if stage_warmer is not None else {"completed": [], "errors": {}}
+    out._stage_warmer = stage_warmer
     out.pipeline_ranks = {
         "blockwise": int(total_rank),
         "pre_reduction": int(total_rank + k_bg),

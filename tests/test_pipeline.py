@@ -403,15 +403,19 @@ class TestAOTWarm:
         movie = make_low_rank_movie(4, (400, 40, 40), rng, noise=0.3)
         off = localmd_decomposition(movie, aot_warm=False, **self.KW)
         on = localmd_decomposition(movie, aot_warm=True, **self.KW)
-        assert on.pipeline_warm["errors"] == {}
         assert off.pipeline_warm == {"completed": [], "errors": {}}
-        # thresholds warm is joined before the main threshold call, so it
-        # is always complete by pipeline return
-        assert "thresholds" in on.pipeline_warm["completed"]
+        assert off._stage_warmer is None
+        # join the live warmer: pipeline_warm is a non-blocking snapshot,
+        # so threads may still be draining at return on a fast machine
+        on._stage_warmer.join_all(timeout=120)
+        assert on._stage_warmer.errors == {}
+        assert "thresholds" in on._stage_warmer.completed
         finals = [
-            n for n in on.pipeline_warm["completed"] if n.startswith("final:")
+            n for n in on._stage_warmer.completed if n.startswith("final:")
         ]
-        assert finals == [f"final:{on.pipeline_ranks['reduced']}"] or not finals
+        # exactly ONE final:<k>, with the counts-sync prediction matching
+        # the exact post-projector shape (a mismatch would leave two)
+        assert finals == [f"final:{on.pipeline_ranks['reduced']}"]
         np.testing.assert_allclose(on[5], off[5], atol=1e-6)
         np.testing.assert_allclose(on.s, off.s, rtol=1e-6)
 
@@ -446,6 +450,35 @@ class TestAOTWarm:
         assert evt.wait(5) and seen == [1]
         assert "ok" in w.completed and "boom" in w.errors
         assert "boom" not in w.completed
+
+    def test_eigh_plan_matches_dispatch_branches(self):
+        from localmd_tpu.factorization import eigh_plan
+
+        # low-rank bound well under m: randomized range capture
+        assert eigh_plan(4000, 300) == ("subspace", 332)
+        # k_sketch saturates at m: full eigh
+        assert eigh_plan(512, 512) == ("full", 512)
+        # small m never uses the sketch path
+        assert eigh_plan(256, 10) == ("full", 42)
+        # boundary: 4*(k+32) <= 3*m exactly
+        assert eigh_plan(1024, 736)[0] == "subspace"
+        assert eigh_plan(1024, 737)[0] == "full"
+
+    def test_normalized_init_geometry(self):
+        from localmd_tpu.aot import normalized_init_geometry
+
+        # window_chunks None -> frame_range; both clamp to the movie
+        assert normalized_init_geometry((1000, 40, 40), 400, None, (10, 10)) \
+            == (400, 400, 10, 10)
+        assert normalized_init_geometry((300, 40, 40), 400, 500, (10, 10)) \
+            == (300, 300, 10, 10)
+        assert normalized_init_geometry((1000, 40, 40), 400, 100, (10, 10)) \
+            == (400, 100, 10, 10)
+        # blocks clamp to a small FOV instead of raising
+        assert normalized_init_geometry((1000, 8, 8), 400, None, (10, 10)) \
+            == (400, 400, 8, 8)
+        with pytest.raises(ValueError):  # sub-minimum block sizes
+            normalized_init_geometry((1000, 40, 40), 400, None, (4, 10))
 
     def test_plan_matches_pipeline_clamps(self):
         # the planner mirrors the pipeline's deterministic max_components /
