@@ -117,59 +117,92 @@ def _cat_cols(results: List, n_rows: int):
     return jnp.concatenate(results, axis=1) if len(results) > 1 else results[0]
 
 
-def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2) -> Iterable:
+class _PrefetchIter:
     """Background-thread prefetching iterator over ``load_fn(item)``.
 
     Abandoning the iterator mid-stream (an exception in the consumer loop,
     e.g. the pipeline's device-OOM retries) must not leak the worker: without
     a stop signal the thread would block on ``q.put`` forever, pinning its
     queued + in-flight device chunks in HBM — the very memory the OOM retry
-    is trying to free. Generator close (``finally`` below) sets the stop
-    event and drains the queue, so the worker unblocks, drops its references,
-    and exits.
-    """
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    sentinel = object()
-    err_box = []
-    stop = threading.Event()
+    is trying to free. ``close()`` (also run by GC) sets the stop event and
+    drains the queue, so the worker unblocks, drops its references, and
+    exits.
 
-    def _put(item) -> bool:
+    With ``eager=True`` the worker starts at CONSTRUCTION time instead of
+    the first ``__next__``: callers can begin staging disk reads + async
+    H2D transfers while unrelated device work runs (the pipeline overlaps
+    the V-regression stream with the factorized-SVD projector chain this
+    way, ``PMDLoader.start_v_prefetch``).
+    """
+
+    def __init__(self, make_items: Sequence, load_fn, depth: int = 2,
+                 eager: bool = False):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err: list = []
+        self._stop = threading.Event()
+        self._items = make_items
+        self._load = load_fn
+        self._done = False
+        self._started = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        if eager:
+            self._ensure_started()
+
+    def _ensure_started(self) -> None:
+        if not self._started:
+            self._started = True
+            self._thread.start()
+
+    def _put(self, item) -> bool:
         """put honoring stop; False once the consumer is gone."""
-        while not stop.is_set():
+        while not self._stop.is_set():
             try:
-                q.put(item, timeout=0.1)
+                self._q.put(item, timeout=0.1)
                 return True
             except queue.Full:
                 continue
         return False
 
-    def worker():
+    def _worker(self) -> None:
         try:
-            for item in make_items:
-                if stop.is_set() or not _put(load_fn(item)):
+            for item in self._items:
+                if self._stop.is_set() or not self._put(self._load(item)):
                     return
         except BaseException as e:  # surface IO errors in the consumer
-            err_box.append(e)
+            self._err.append(e)
         finally:
-            _put(sentinel)
+            self._put(self._sentinel)
 
-    th = threading.Thread(target=worker, daemon=True)
-    th.start()
-    try:
-        while True:
-            got = q.get()
-            if got is sentinel:
-                break
-            yield got
-    finally:
-        stop.set()
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._done:
+            raise StopIteration
+        self._ensure_started()
+        got = self._q.get()
+        if got is self._sentinel:
+            self._done = True
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return got
+
+    def close(self) -> None:
+        self._stop.set()
         try:
             while True:
-                q.get_nowait()
+                self._q.get_nowait()
         except queue.Empty:
             pass
-    if err_box:
-        raise err_box[0]
+
+    __del__ = close
+
+
+def _prefetch_iter(make_items: Sequence, load_fn, depth: int = 2,
+                   eager: bool = False) -> Iterable:
+    return _PrefetchIter(make_items, load_fn, depth=depth, eager=eager)
 
 
 @jax.jit
@@ -383,6 +416,7 @@ class PMDLoader:
         self._cache_reserve_bytes = int(cache_reserve_bytes or 7.5e9)
         self._cache: Optional[jax.Array] = None
         self._cache_frames = 0
+        self._v_prefetch: Optional[dict] = None
         # The device this loader's pipeline is pinned to (the thread-local
         # jax default at construction; None = process default). Prefetch
         # worker threads and memory budgets must use THIS, not devices()[0].
@@ -509,6 +543,11 @@ class PMDLoader:
             )
         self._cache = None
         self._cache_frames = 0
+        if self._v_prefetch is not None:
+            # the pending V-regression prefetch holds staged device chunks
+            # and its chunk ranges were split at the now-dead cache boundary
+            self._v_prefetch["iter"].close()
+            self._v_prefetch = None
 
     def _cache_serves(self, frames) -> bool:
         """True iff ``frames`` lies entirely inside the cached prefix."""
@@ -577,6 +616,7 @@ class PMDLoader:
         merge_tail: bool = True,
         device_put: bool = False,
         host_partition: bool = False,
+        eager: bool = False,
     ):
         """Iterate native-dtype frame chunks.
 
@@ -626,8 +666,56 @@ class PMDLoader:
             # each queued item is an in-flight H2D transfer, and >~3 large
             # concurrent transfers congest shared/tunneled links.
             depth = min(self._prefetch_depth, 2) if device_put else self._prefetch_depth
-            return _prefetch_iter(ranges, load, depth=depth)
+            return _prefetch_iter(ranges, load, depth=depth, eager=eager)
         return (load(r) for r in ranges)
+
+    # -- V-regression stream overlap ---------------------------------------------
+
+    def start_v_prefetch(self, mesh=None) -> bool:
+        """Begin staging the V-regression pass's chunk stream NOW.
+
+        The streaming temporal regression (``v_projection``) is the second
+        full pass over the movie and cannot *compute* anything until the
+        factorized-SVD projector exists — but its disk reads and async H2D
+        transfers need nothing but the dataset. Starting the prefetch
+        worker here lets those transfers ride the otherwise-idle host link
+        while the projector chain computes, taking the projector's wall
+        time off streaming runs for free. Results are identical — this
+        only moves transfer time (the reference has no equivalent; its
+        second pass starts cold, pmd_loader.py:316-346).
+
+        Returns True if a prefetch was started (False when the movie is
+        device-resident or fully HBM-cached — nothing to stream — or one
+        is already pending)."""
+        if self._device_resident or self._v_prefetch is not None:
+            return False
+        if 0 < self.shape[0] <= self._cache_frames:
+            return False
+        it = self._iter_raw_chunks(
+            device_put=(mesh is None), host_partition=True, eager=True
+        )
+        if not isinstance(it, _PrefetchIter):  # pragma: no cover - defensive
+            return False
+        self._v_prefetch = {
+            "iter": it,
+            "device_put": mesh is None,
+            "cache_frames": self._cache_frames,
+        }
+        return True
+
+    def _take_v_prefetch(self, device_put: bool):
+        """Hand the pending prefetch stream to ``v_projection`` — or None if
+        its parameters no longer match (e.g. the HBM movie cache was dropped
+        by an OOM retry after the stream started: its chunk ranges were
+        split at the old cache boundary)."""
+        h = self._v_prefetch
+        self._v_prefetch = None
+        if h is None:
+            return None
+        if h["device_put"] != device_put or h["cache_frames"] != self._cache_frames:
+            h["iter"].close()
+            return None
+        return h["iter"]
 
     # -- statistics ------------------------------------------------------------
 
@@ -674,6 +762,16 @@ class PMDLoader:
         noise_acc = jnp.zeros((d1, d2), dtype=jnp.float32)
         noise_chunks = 0
 
+        multi_host = getattr(jax, "process_count", lambda: 1)() > 1
+        if multi_host and self._cache_policy:
+            # the cache stores a [0, n) frame PREFIX; under per-host chunk
+            # stripes each process streams a different frame window, so the
+            # prefix invariant (and every _cache_serves consumer) breaks
+            display(
+                "multi-host run: HBM movie cache disabled "
+                "(per-host stats stripes)"
+            )
+            self._cache_policy = False
         cache_target = self._plan_cache_frames()
         self._cache_building = cache_target > 0
         hook = self._stats_started_hook
@@ -688,8 +786,13 @@ class PMDLoader:
         # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise
         # average (pmd_loader.py:245-258); merged ranges would fold the tail
         # into the last chunk and shift std_img whenever T % 1024 != 0.
+        # host_partition: under jax.distributed each process streams only its
+        # contiguous stripe of the stats chunks (identity single-process);
+        # the accumulators are additive, so one tiny cross-host allgather
+        # below completes the pass (docs/ARCHITECTURE.md §multi-host).
         for raw in self._iter_raw_chunks(
-            self.frame_constant, merge_tail=False, device_put=True
+            self.frame_constant, merge_tail=False, device_put=True,
+            host_partition=True,
         ):
             t_c = raw.shape[0]
             if cache_target and pos + t_c <= cache_target:
@@ -731,6 +834,25 @@ class PMDLoader:
                 noise_acc = noise_acc + sig
                 noise_chunks += 1
             mean_acc = mean_acc + m
+
+        if multi_host:
+            # Cross-host reduction of the additive accumulators — the ONLY
+            # stats traffic that crosses hosts: two (d1, d2) images + one
+            # scalar per process (frame chunks themselves never move). The
+            # stacked per-host partials sum in process order, so a 2-host
+            # run is bit-identical to the sequential single-host loop.
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                {
+                    "mean": np.asarray(mean_acc),
+                    "noise": np.asarray(noise_acc),
+                    "chunks": np.int64(noise_chunks),
+                }
+            )
+            mean_acc = jnp.asarray(gathered["mean"].sum(axis=0))
+            noise_acc = jnp.asarray(gathered["noise"].sum(axis=0))
+            noise_chunks = int(gathered["chunks"].sum())
 
         self._cache_building = False
         if self._cache is not None and self._cache_frames:
@@ -883,9 +1005,17 @@ class PMDLoader:
             a_c = unflatten_fov(a_tilde, d1, d2, self._order).reshape(d1 * d2, -1)
             del a_tilde  # the re-ordered copy is the only buffer needed now
             results = []
-            for raw in self._iter_raw_chunks(device_put=True, host_partition=True):
-                raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
-                results.append(fused_v_projection(raw2d, a_c, c))
+            chunks = self._take_v_prefetch(True) or self._iter_raw_chunks(
+                device_put=True, host_partition=True
+            )
+            try:
+                for raw in chunks:
+                    raw2d = jnp.asarray(raw).reshape(raw.shape[0], d1 * d2)
+                    results.append(fused_v_projection(raw2d, a_c, c))
+            finally:
+                close = getattr(chunks, "close", None)
+                if close is not None:
+                    close()
             return self._assemble_global_v(
                 _cat_cols(results, a_c.shape[1]), mesh
             )
@@ -923,16 +1053,22 @@ class PMDLoader:
             kernel = sharded_kernel
 
         results = []
-        for raw in self._iter_raw_chunks(
+        chunks = self._take_v_prefetch(mesh is None) or self._iter_raw_chunks(
             device_put=(mesh is None), host_partition=True
-        ):
-            raw = jnp.asarray(raw)
-            t_c = raw.shape[0]
-            pad = (-t_c) % n_dev
-            if pad:
-                raw = jnp.concatenate([raw, raw[:pad]], axis=0)
-            out = kernel(a_tilde, c, raw)
-            results.append(out[:, :t_c] if pad else out)
+        )
+        try:
+            for raw in chunks:
+                raw = jnp.asarray(raw)
+                t_c = raw.shape[0]
+                pad = (-t_c) % n_dev
+                if pad:
+                    raw = jnp.concatenate([raw, raw[:pad]], axis=0)
+                out = kernel(a_tilde, c, raw)
+                results.append(out[:, :t_c] if pad else out)
+        finally:
+            close = getattr(chunks, "close", None)
+            if close is not None:
+                close()
         return self._assemble_global_v(
             _cat_cols(results, a_tilde.shape[1]), mesh_for_assembly
         )

@@ -979,6 +979,13 @@ def localmd_decomposition(
     # OOM we drop the HBM movie cache (several GB back to a pressured chip),
     # recompute the projector from the same PRNG key (exact same sketch), and
     # re-stream the uncached frames from the dataset — same result, slower.
+    if not ckpt.has("v"):
+        # Start the V-regression's chunk stream (disk reads + async H2D on
+        # the loader's prefetch thread) NOW: the host link is otherwise idle
+        # while the projector chain below computes, so on streaming runs the
+        # factorized-SVD stage's wall time comes off the second pass for
+        # free. Identical results — this only moves transfer time.
+        load_obj.start_v_prefetch(mesh=mesh)
     for attempt in (0, 1):
         try:
             p = _compute_projector()
@@ -1016,7 +1023,9 @@ def localmd_decomposition(
                 "(multi-tenant chip?); dropping the HBM movie cache and "
                 "re-streaming"
             )
-            load_obj.release_cache()
+            load_obj.release_cache()  # also closes any pending V prefetch
+            if not ckpt.has("v"):
+                load_obj.start_v_prefetch(mesh=mesh)
     if not v_resumed:
         # Saving on the resume path would re-pull the full (rank x T) matrix
         # D2H just to rewrite the identical file.

@@ -72,6 +72,24 @@ class TestPrefetchIter:
         time.sleep(0.3)
         assert len(produced) == n  # ...and stays stopped
 
+    def test_eager_start_produces_before_first_next(self):
+        # eager=True is the V-regression overlap hook: the worker must begin
+        # loading at construction time, not at the first __next__
+        import time
+
+        produced = []
+
+        def load(i):
+            produced.append(i)
+            return i
+
+        it = _prefetch_iter(range(10), load, depth=2, eager=True)
+        deadline = time.time() + 5.0
+        while not produced and time.time() < deadline:
+            time.sleep(0.01)
+        assert produced  # started without any consumer pull
+        assert list(it) == list(range(10))  # order + completeness intact
+
     def test_prefetch_chunks_pinned_to_ambient_device(self, rng):
         # The prefetch worker is a new thread, so jax's thread-local default
         # device does NOT apply inside it; the loader must pin device_put
@@ -238,6 +256,80 @@ class TestHostPartition:
         loader = PMDLoader(movie, background_rank=0, seed=0)
         v = np.asarray(loader.v_projection(u, jnp.asarray(p)))
         assert v.shape == (5, 300)
+
+
+class TestVPrefetchOverlap:
+    """start_v_prefetch stages the V-regression stream while the projector
+    chain computes; results must be identical and the handle lifecycle safe."""
+
+    def _setup(self, rng, t=300, d=20):
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        movie = (rng.standard_normal((t, d, d)) + 4).astype(np.float32)
+        grid = BlockGrid(d, d, (10, 10))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 3)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), d * d,
+            jnp.zeros((d * d, 1), jnp.float32),
+        )
+        p = jnp.asarray(rng.standard_normal((u.shape[1], 5)).astype(np.float32))
+        return movie, u, p
+
+    def test_prefetched_v_projection_identical(self, rng):
+        movie, u, p = self._setup(rng)
+        base = PMDLoader(movie, background_rank=0, seed=0)
+        v_ref = np.asarray(base.v_projection(u, p))
+
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        assert loader.start_v_prefetch() is True
+        assert loader._v_prefetch is not None
+        v = np.asarray(loader.v_projection(u, p))
+        assert loader._v_prefetch is None  # consumed, not leaked
+        np.testing.assert_array_equal(v, v_ref)
+
+    def test_double_start_is_noop(self, rng):
+        movie, u, p = self._setup(rng)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        assert loader.start_v_prefetch() is True
+        handle = loader._v_prefetch
+        assert loader.start_v_prefetch() is False  # one already pending
+        assert loader._v_prefetch is handle
+
+    def test_release_cache_invalidates_pending_prefetch(self, rng):
+        movie, u, p = self._setup(rng)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        assert loader.start_v_prefetch() is True
+        it = loader._v_prefetch["iter"]
+        loader.release_cache()
+        assert loader._v_prefetch is None
+        assert it._stop.is_set()  # worker told to drop staged chunks
+        # v_projection after the drop builds a fresh stream and still works
+        base = PMDLoader(movie, background_rank=0, seed=0)
+        np.testing.assert_array_equal(
+            np.asarray(loader.v_projection(u, p)),
+            np.asarray(base.v_projection(u, p)),
+        )
+
+    def test_mismatched_mode_discarded(self, rng):
+        # a handle staged for mesh=None (device_put chunks) must not be fed
+        # into a meshed v_projection (host chunks) — and vice versa
+        movie, u, p = self._setup(rng)
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        assert loader.start_v_prefetch(mesh=None) is True
+        it = loader._v_prefetch["iter"]
+        assert loader._take_v_prefetch(False) is None
+        assert it._stop.is_set()
+        assert loader._v_prefetch is None
+
+    def test_device_resident_movie_skips_prefetch(self, rng):
+        movie = jnp.asarray(
+            (rng.standard_normal((60, 12, 12)) + 4).astype(np.float32)
+        )
+        loader = PMDLoader(movie, background_rank=0, seed=0)
+        assert loader.start_v_prefetch() is False
 
 
 class TestDeviceMovie:
