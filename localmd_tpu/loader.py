@@ -190,7 +190,10 @@ class _PrefetchIter:
         return got
 
     def close(self) -> None:
-        self._stop.set()
+        stop = getattr(self, "_stop", None)  # __del__-safe if __init__ failed
+        if stop is None:
+            return
+        stop.set()
         try:
             while True:
                 self._q.get_nowait()
