@@ -88,7 +88,13 @@ def partition_ranges_for_host(
     ``[h*ceil(T/H), min((h+1)*ceil(T/H), T))``), splitting chunks at the
     boundary, so ``jax.make_array_from_process_local_data`` receives
     exactly the local shard it expects. Trailing hosts may get an EMPTY
-    stripe when T < (H-1)*ceil(T/H); consumers must handle zero chunks."""
+    stripe when T < (H-1)*ceil(T/H); consumers must handle zero chunks.
+
+    Use ONLY for consumers whose per-chunk results are chunk-boundary-
+    INSENSITIVE (the V regression: each frame's column is independent).
+    The statistics pass is boundary-sensitive (per-chunk Welch sigma,
+    MIN_NOISE_FRAMES tail drops, ``welch_compat='reference'`` nperseg=t_c)
+    and must use :func:`partition_chunks_for_host` instead."""
     if host_count <= 1:
         return list(ranges)
     if not 0 <= host_index < host_count:
@@ -106,6 +112,33 @@ def partition_ranges_for_host(
             out.append((a + (s - acc), a + (e - acc)))
         acc += n
     return out
+
+
+def partition_chunks_for_host(
+    ranges: List[Tuple[int, int]], host_index: int, host_count: int
+) -> List[Tuple[int, int]]:
+    """This host's contiguous stripe of WHOLE chunks — no mid-chunk splits.
+
+    The statistics pass partition: per-chunk Welch noise is chunk-boundary-
+    sensitive (sigma is averaged per chunk, pieces shorter than
+    MIN_NOISE_FRAMES drop out of the noise average, and
+    ``welch_compat='reference'`` uses nperseg = t_c), so every host must see
+    exactly the chunk boundaries the single-host loop would. Complete
+    chunks are assigned in contiguous runs of ``ceil(n_chunks / host_count)``;
+    stats has no shard-alignment requirement (the accumulators are additive),
+    so frame-count balance across hosts is within one chunk. Trailing hosts
+    may get an EMPTY stripe; consumers must handle zero chunks.
+
+    NOTE the cross-host combination is a sum of per-host partial sums, so
+    the float accumulation ASSOCIATES differently from the sequential
+    single-host loop once any host holds more than one chunk: results agree
+    to float32 ULP rounding (identical chunk partition), not bit-for-bit."""
+    if host_count <= 1:
+        return list(ranges)
+    if not 0 <= host_index < host_count:
+        raise ValueError(f"host_index {host_index} outside [0, {host_count})")
+    per = -(-len(ranges) // host_count)
+    return list(ranges[host_index * per : (host_index + 1) * per])
 
 
 def _cat_cols(results: List, n_rows: int):
@@ -178,10 +211,19 @@ class _PrefetchIter:
         return self
 
     def __next__(self):
-        if self._done:
+        if self._done or self._stop.is_set():
+            # after close() the worker refuses to enqueue (and the sentinel
+            # may already have been drained) — a bare q.get() would block
+            # forever; a closed iterator is simply exhausted
             raise StopIteration
         self._ensure_started()
-        got = self._q.get()
+        while True:
+            try:
+                got = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():  # cross-thread close mid-consumption
+                    raise StopIteration
         if got is self._sentinel:
             self._done = True
             if self._err:
@@ -618,7 +660,7 @@ class PMDLoader:
         prefetch: bool = True,
         merge_tail: bool = True,
         device_put: bool = False,
-        host_partition: bool = False,
+        host_partition=False,
         eager: bool = False,
     ):
         """Iterate native-dtype frame chunks.
@@ -634,6 +676,9 @@ class PMDLoader:
         docs/ARCHITECTURE.md §multi-host), a ``jax.distributed`` run streams
         only THIS process's contiguous stripe of the chunk list — each host
         reads its own frames from shared storage, no cross-host data motion.
+        ``True`` (or ``"frames"``) splits at the shard-aligned frame
+        boundary (V regression); ``"chunks"`` assigns whole chunks only
+        (statistics pass — per-chunk Welch noise is boundary-sensitive).
         Single-process runs are unaffected.
         """
         chunk_frames = chunk_frames or self._stream_chunk_frames()
@@ -641,9 +686,12 @@ class PMDLoader:
         if host_partition:
             n_proc = getattr(jax, "process_count", lambda: 1)()
             if n_proc > 1:
-                ranges = partition_ranges_for_host(
-                    ranges, jax.process_index(), n_proc
+                part = (
+                    partition_chunks_for_host
+                    if host_partition == "chunks"
+                    else partition_ranges_for_host
                 )
+                ranges = part(ranges, jax.process_index(), n_proc)
         if self._cache is not None and 0 < self._cache_frames < self.shape[0]:
             # split any range straddling the cache boundary so each chunk is
             # served wholly from HBM or wholly from the dataset
@@ -694,14 +742,20 @@ class PMDLoader:
             return False
         if 0 < self.shape[0] <= self._cache_frames:
             return False
+        # Mirror v_projection's EFFECTIVE consumption mode: under multi-host
+        # it rebinds mesh=None (per-host stripes run the plain kernel; the
+        # global array is stitched at the end), so the stream must be staged
+        # device_put=True there too or the handle always mismatches and the
+        # overlap is silently inert exactly on multi-host runs.
+        device_put = mesh is None or getattr(jax, "process_count", lambda: 1)() > 1
         it = self._iter_raw_chunks(
-            device_put=(mesh is None), host_partition=True, eager=True
+            device_put=device_put, host_partition=True, eager=True
         )
         if not isinstance(it, _PrefetchIter):  # pragma: no cover - defensive
             return False
         self._v_prefetch = {
             "iter": it,
-            "device_put": mesh is None,
+            "device_put": device_put,
             "cache_frames": self._cache_frames,
         }
         return True
@@ -789,13 +843,17 @@ class PMDLoader:
         # ranges and excludes short (< MIN_NOISE_FRAMES) tails from the noise
         # average (pmd_loader.py:245-258); merged ranges would fold the tail
         # into the last chunk and shift std_img whenever T % 1024 != 0.
-        # host_partition: under jax.distributed each process streams only its
-        # contiguous stripe of the stats chunks (identity single-process);
-        # the accumulators are additive, so one tiny cross-host allgather
+        # host_partition="chunks": under jax.distributed each process streams
+        # only its contiguous stripe of WHOLE stats chunks (identity
+        # single-process); per-chunk Welch noise is chunk-boundary-sensitive
+        # (sigma averaged per chunk, MIN_NOISE_FRAMES tail drops, reference
+        # nperseg = t_c), so mid-chunk splits would materially shift std_img —
+        # whole chunks keep the partition identical to the single-host loop.
+        # The accumulators are additive, so one tiny cross-host allgather
         # below completes the pass (docs/ARCHITECTURE.md §multi-host).
         for raw in self._iter_raw_chunks(
             self.frame_constant, merge_tail=False, device_put=True,
-            host_partition=True,
+            host_partition="chunks",
         ):
             t_c = raw.shape[0]
             if cache_target and pos + t_c <= cache_target:
@@ -842,8 +900,11 @@ class PMDLoader:
             # Cross-host reduction of the additive accumulators — the ONLY
             # stats traffic that crosses hosts: two (d1, d2) images + one
             # scalar per process (frame chunks themselves never move). The
-            # stacked per-host partials sum in process order, so a 2-host
-            # run is bit-identical to the sequential single-host loop.
+            # chunk PARTITION is identical to the single-host loop (whole
+            # chunks per host), but the float sums associate differently
+            # (per-host partials, then process order) once a host holds more
+            # than one chunk — agreement is to f32 ULP rounding, and exactly
+            # bit-identical only when every host holds at most one chunk.
             from jax.experimental import multihost_utils
 
             gathered = multihost_utils.process_allgather(
@@ -997,6 +1058,16 @@ class PMDLoader:
         mean_flat = flatten_image(jnp.asarray(self.mean_img), self._order)
         a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
+        multi_host = getattr(jax, "process_count", lambda: 1)() > 1
+        mesh_for_assembly = mesh
+        if mesh is not None and multi_host:
+            # per-host stripes are process-LOCAL arrays; frames-parallel V
+            # needs zero collectives, so each host runs the plain kernel
+            # (including the Pallas fast path below) on its stripe and the
+            # global result is stitched at the end
+            # (docs/ARCHITECTURE.md §multi-host)
+            mesh = None
+
         if mesh is None and jax.default_backend() not in ("cpu",):
             # Pallas fast path: one HBM pass per chunk, native-dtype reads.
             # The folded projector's rows follow the pipeline's pixel order;
@@ -1020,7 +1091,7 @@ class PMDLoader:
                 if close is not None:
                     close()
             return self._assemble_global_v(
-                _cat_cols(results, a_c.shape[1]), mesh
+                _cat_cols(results, a_c.shape[1]), mesh_for_assembly
             )
 
         order = self._order
@@ -1029,14 +1100,6 @@ class PMDLoader:
             return _v_projection_kernel(a_t, c_r, raw, order)
 
         n_dev = 1
-        multi_host = getattr(jax, "process_count", lambda: 1)() > 1
-        mesh_for_assembly = mesh
-        if mesh is not None and multi_host:
-            # per-host stripes are process-LOCAL arrays; frames-parallel V
-            # needs zero collectives, so each host runs the plain kernel on
-            # its stripe and the global result is stitched at the end
-            # (docs/ARCHITECTURE.md §multi-host)
-            mesh = None
         if mesh is not None:
             from localmd_tpu.parallel.mesh import BLOCK_AXIS
             from jax.sharding import PartitionSpec as P

@@ -238,6 +238,36 @@ class TestHostPartition:
         with pytest.raises(ValueError):
             partition_ranges_for_host([(0, 10)], 4, 4)
 
+    def test_chunk_partition_never_splits_chunks(self):
+        # the STATS partition: per-chunk Welch noise is chunk-boundary-
+        # sensitive, so hosts receive whole chunks only — the union of all
+        # stripes is exactly the single-host chunk list, chunk-for-chunk
+        from localmd_tpu.loader import _chunk_ranges, partition_chunks_for_host
+
+        for total, chunk, hosts in [
+            (10000, 1024, 2),   # ceil(T/H) not a multiple of chunk (ADVICE r4)
+            (30000, 1024, 4),
+            (1000, 300, 3),
+            (2048, 1024, 8),    # more hosts than chunks: tails empty
+        ]:
+            ranges = _chunk_ranges(total, chunk)
+            stripes = [
+                partition_chunks_for_host(ranges, h, hosts)
+                for h in range(hosts)
+            ]
+            assert [r for s in stripes for r in s] == ranges
+            # every assigned range IS one of the single-host chunks (no split)
+            for s in stripes:
+                for r in s:
+                    assert r in ranges
+
+    def test_chunk_partition_identity_and_bounds(self):
+        from localmd_tpu.loader import partition_chunks_for_host
+
+        assert partition_chunks_for_host([(0, 5)], 0, 1) == [(0, 5)]
+        with pytest.raises(ValueError):
+            partition_chunks_for_host([(0, 5)], 2, 2)
+
     def test_v_projection_unchanged_single_process(self, rng):
         # the host_partition flag must be a no-op with process_count == 1
         from localmd_tpu.blocksparse import BlockSparseMatrix
@@ -289,6 +319,50 @@ class TestVPrefetchOverlap:
         v = np.asarray(loader.v_projection(u, p))
         assert loader._v_prefetch is None  # consumed, not leaked
         np.testing.assert_array_equal(v, v_ref)
+
+    def test_next_after_close_raises_stopiteration(self):
+        # close() may consume the sentinel while draining; a later __next__
+        # must not block on an empty queue forever (latent deadlock, ADVICE r4)
+        from localmd_tpu.loader import _PrefetchIter
+
+        it = _PrefetchIter([1, 2, 3], lambda x: x, depth=1)
+        assert next(it) == 1
+        it.close()
+        with pytest.raises(StopIteration):
+            next(it)
+
+    def test_cross_thread_close_unblocks_consumer(self):
+        import threading
+        import time as _time
+
+        from localmd_tpu.loader import _PrefetchIter
+
+        release = threading.Event()
+
+        def slow(x):
+            if x > 0:
+                release.wait(10)  # starve the queue so __next__ blocks
+            return x
+
+        it = _PrefetchIter([0, 1, 2], slow, depth=1)
+        assert next(it) == 0
+        got = []
+
+        def consume():
+            try:
+                next(it)
+                got.append("item")
+            except StopIteration:
+                got.append("stop")
+
+        t = threading.Thread(target=consume)
+        t.start()
+        _time.sleep(0.2)
+        it.close()  # must wake the blocked consumer
+        t.join(5)
+        release.set()
+        assert not t.is_alive()
+        assert got == ["stop"]
 
     def test_double_start_is_noop(self, rng):
         movie, u, p = self._setup(rng)
