@@ -324,7 +324,6 @@ def plan_block_stage(
     shape check in :meth:`BlockProgramWarmer.get` is what guarantees the
     precompiled program is byte-compatible with the actual call.
     """
-    from localmd_tpu.loader import nominal_hbm_bytes
     from localmd_tpu.ops.tiling import block_grid
 
     t_total, d1, d2 = (int(x) for x in shape)
@@ -364,35 +363,27 @@ def plan_block_stage(
         kind, wl_eff, n_windows = "single", 0, 0
 
     n_blocks = block_grid(d1, d2, (b1, b2)).n_blocks
-    # mirror the pipeline's batch-size budget (nominal-HBM branch; the
-    # memory_stats branch depends on post-cache free memory, in which case
-    # the plan may miss and dispatch falls back)
+    # the pipeline's batch-size budget — the SAME function the dispatch site
+    # calls (utils.device.block_batch_budget), so plan and dispatch cannot
+    # drift. At planning time the init crop / movie cache are not allocated
+    # yet, so the predicted bytes are passed as pending (memory_stats
+    # branch) AND assumed-live (nominal-HBM branch).
+    from localmd_tpu.utils.device import block_batch_budget
+
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
-    budget = int(1e9)
-    try:
-        stats = device.memory_stats()
-    except Exception:
-        stats = None
-    if stats and "bytes_limit" in stats:
-        used = (
-            d1 * d2 * crop_avg_constant * 4
-            + cache_target_frames * d1 * d2 * cache_itemsize
-            + device_resident_bytes
-        )
-        free = stats["bytes_limit"] - stats.get("bytes_in_use", 0) - used
-        budget = max(budget, int(free * 0.4))
-    else:
-        hbm = nominal_hbm_bytes(device)
-        if hbm is not None:
-            used = (
-                d1 * d2 * crop_avg_constant * 4
-                + cache_target_frames * d1 * d2 * cache_itemsize
-                + device_resident_bytes
-            )
-            budget = max(budget, int((hbm * 0.9 - used) * 0.4))
-    bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
-    if bb < n_blocks:
-        bb = 1 << (bb.bit_length() - 1)
+    predicted_used = (
+        d1 * d2 * crop_avg_constant * 4
+        + cache_target_frames * d1 * d2 * cache_itemsize
+        + device_resident_bytes
+    )
+    bb = block_batch_budget(
+        device,
+        per_block_bytes=per_block_bytes,
+        n_blocks=n_blocks,
+        block_batch_size=block_batch_size,
+        assumed_live_bytes=predicted_used,
+        pending_bytes=predicted_used,
+    )
     return dict(
         d1=d1, d2=d2, t_data=t_init, bb=bb, b1=b1, b2=b2,
         max_components=max_components,

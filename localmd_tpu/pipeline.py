@@ -589,45 +589,33 @@ def localmd_decomposition(
         )
         n_windows_global = len(range(0, crop_avg_constant, wl_eff))
         block_keys = engine.window_keys(sub, n_windows_global, n_blocks)
-    # Bound the block batch so the fused chunk step's working set (patches +
-    # ~3 same-sized intermediates) fits: 40% of currently-free device memory
-    # when the runtime reports it; on TPUs with no memory introspection
-    # (the axon tunnel returns an empty dict), 40% of nominal HBM minus the
-    # known live buffers (movie cache, init crop, device-resident movie);
-    # else a 1 GB floor. Bigger chunks = fewer program dispatches (each
-    # costs a round trip on tunneled TPUs: a 1 GB floor at 512x512x1024
-    # means 31 chunk dispatches ~ 0.3 s of pure latency).
+    # Batch-size budget: shared with the AOT planner (plan_block_stage) via
+    # utils.device.block_batch_budget — ONE formula, so the warm plan and
+    # the dispatch can never silently disagree on the compiled batch shape.
     per_block_bytes = b1 * b2 * crop_avg_constant * 4 * 4
-    budget = int(1e9)
+    from localmd_tpu.utils import ambient_device_or_first
+    from localmd_tpu.utils.device import block_batch_budget
+
+    dev = ambient_device_or_first()  # the chip this pipeline is pinned to
+    # Live buffers the nominal-HBM branch must subtract (the memory_stats
+    # branch sees them in bytes_in_use already — pending_bytes stays 0).
+    used = d1 * d2 * crop_avg_constant * 4  # init crop
     try:
-        from localmd_tpu.utils import ambient_device_or_first
-
-        dev = ambient_device_or_first()  # the chip this pipeline is pinned to
-        stats = dev.memory_stats()
-        if stats and "bytes_limit" in stats:
-            free = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
-            budget = max(budget, int(free * 0.4))
-        else:
-            from localmd_tpu.loader import nominal_hbm_bytes
-
-            hbm = nominal_hbm_bytes(dev)
-            if hbm is not None:
-                used = d1 * d2 * crop_avg_constant * 4  # init crop
-                cache = getattr(load_obj, "_cache", None)
-                if cache is not None:
-                    used += load_obj._cache_frames * d1 * d2 * cache.dtype.itemsize
-                if load_obj._device_resident:
-                    arr = load_obj.dataset._array
-                    used += arr.size * arr.dtype.itemsize
-                budget = max(budget, int((hbm * 0.9 - used) * 0.4))
+        cache = getattr(load_obj, "_cache", None)
+        if cache is not None:
+            used += load_obj._cache_frames * d1 * d2 * cache.dtype.itemsize
+        if load_obj._device_resident:
+            arr = load_obj.dataset._array
+            used += arr.size * arr.dtype.itemsize
     except Exception:
         pass
-    bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
-    if bb < n_blocks:
-        # Quantize down to a power of two: the batch size is a compiled-
-        # program shape, and free-memory jitter must not spawn new compile
-        # variants. (bb == n_blocks stays: one chunk, no padding.)
-        bb = 1 << (bb.bit_length() - 1)
+    bb = block_batch_budget(
+        dev,
+        per_block_bytes=per_block_bytes,
+        n_blocks=n_blocks,
+        block_batch_size=block_batch_size,
+        assumed_live_bytes=used,
+    )
     if mesh is not None:
         n_dev = mesh.devices.size
         bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
@@ -1024,8 +1012,11 @@ def localmd_decomposition(
                 "re-streaming"
             )
             load_obj.release_cache()  # also closes any pending V prefetch
-            if not ckpt.has("v"):
-                load_obj.start_v_prefetch(mesh=mesh)
+            # Do NOT restart the eager V prefetch here: it would stage up to
+            # depth x chunk-bytes of in-flight H2D buffers on the chip that
+            # just raised RESOURCE_EXHAUSTED, during the final attempt before
+            # the error is re-raised. v_projection streams on demand instead
+            # (overlap is a luxury the retry path can't afford).
     if not v_resumed:
         # Saving on the resume path would re-pull the full (rank x T) matrix
         # D2H just to rewrite the identical file.

@@ -38,8 +38,20 @@ from localmd_tpu.ops.tiling import unflatten_fov
 # Per-chunk canvas budget for device-side slicing: bounds the (h, w, f)
 # ROI reconstruction buffer so pmd[:, :, :] of an arbitrarily long movie
 # streams through HBM in bounded pieces instead of materializing
-# d1*d2*T*4 bytes at once.
-_SLICE_CANVAS_BUDGET_BYTES = 256 << 20
+# d1*d2*T*4 bytes at once. Device-scaled (HBM/16, 1 GiB floor — the same
+# utils.device.transient_budget_bytes every other transient budget uses):
+# a fixed 256 MB would chunk ~24x more than needed on a 95 GB v5p, each
+# chunk a dispatch. Test/debug override: a number here pins the budget
+# (None = device-scaled).
+_SLICE_CANVAS_BUDGET_BYTES = None
+
+
+def _slice_canvas_budget() -> int:
+    if _SLICE_CANVAS_BUDGET_BYTES is not None:
+        return _SLICE_CANVAS_BUDGET_BYTES
+    from localmd_tpu.utils import transient_budget_bytes
+
+    return transient_budget_bytes()
 
 
 @partial(jax.jit, static_argnames=("b1", "b2", "h", "w"))
@@ -446,7 +458,7 @@ class PMDArray:
         # a strided/scattered selection like pmd[:, ::8, ::8] still builds
         # the full-extent canvas.
         roi_pixels = max(1, self._slice_pixel_extent(used_rows))
-        per_chunk = max(1, _SLICE_CANVAS_BUDGET_BYTES // (4 * roi_pixels))
+        per_chunk = max(1, _slice_canvas_budget() // (4 * roi_pixels))
         var_dev = jnp.asarray(np.asarray(var_used, dtype=np.float32))[..., None]
         mean_dev = jnp.asarray(np.asarray(mean_used, dtype=np.float32))[..., None]
         parts = []

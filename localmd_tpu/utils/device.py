@@ -66,6 +66,66 @@ def transient_budget_bytes(device=None) -> int:
     return budget
 
 
+def block_batch_budget(
+    device,
+    *,
+    per_block_bytes: int,
+    n_blocks: int,
+    block_batch_size: int,
+    assumed_live_bytes: int = 0,
+    pending_bytes: int = 0,
+) -> int:
+    """The block-stage batch size: the SINGLE source of truth shared by the
+    pipeline's dispatch loop and the AOT planner (``aot.plan_block_stage``).
+
+    Both sites previously carried their own copy of this formula; silent
+    drift between them meant the stage warm never matched and the stage
+    paid the cold program load again — so the budget lives here once.
+
+    Bounds the batch so the fused chunk step's working set (patches + ~3
+    same-sized intermediates = ``per_block_bytes`` each) fits: 40% of
+    currently-free device memory when the runtime reports it (minus
+    ``pending_bytes`` — buffers that WILL be live at dispatch but are not
+    yet allocated at planning time; the dispatch site passes 0 because its
+    buffers already show in ``bytes_in_use``); on devices with no memory
+    introspection (the axon tunnel returns an empty dict), 40% of nominal
+    HBM minus ``assumed_live_bytes`` (movie cache, init crop,
+    device-resident movie — nominal HBM can't see usage, so BOTH sites
+    subtract the same terms); else a 1 GB floor. Bigger chunks = fewer
+    program dispatches (each costs a round trip on tunneled TPUs).
+
+    Batch sizes below ``n_blocks`` are quantized down to a power of two:
+    the batch size is a compiled-program shape, and free-memory jitter must
+    not spawn new compile variants (bb == n_blocks stays: one chunk, no
+    padding). Mesh divisibility rounding stays at the dispatch site.
+    """
+    budget = int(1e9)
+    try:
+        stats = device.memory_stats()
+    except Exception:  # pragma: no cover - backend without memory_stats
+        stats = None
+    try:
+        if stats and "bytes_limit" in stats:
+            free = (
+                stats["bytes_limit"]
+                - stats.get("bytes_in_use", 0)
+                - pending_bytes
+            )
+            budget = max(budget, int(free * 0.4))
+        else:
+            from localmd_tpu.loader import nominal_hbm_bytes
+
+            hbm = nominal_hbm_bytes(device)
+            if hbm is not None:
+                budget = max(budget, int((hbm * 0.9 - assumed_live_bytes) * 0.4))
+    except Exception:  # pragma: no cover - defensive: fall back to the floor
+        pass
+    bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
+    if bb < n_blocks:
+        bb = 1 << (bb.bit_length() - 1)
+    return int(bb)
+
+
 def is_device_oom(e: BaseException) -> bool:
     """True iff ``e`` is the runtime's typed device-OOM error.
 
