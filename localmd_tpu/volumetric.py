@@ -61,9 +61,18 @@ class VolumetricPMD:
         per_plane = []
         for z in z_indices:
             sub_key = (t_key,) + rest if rest else (t_key,)
-            frame = self.planes[int(z)]._getitem_host(
-                sub_key if len(sub_key) <= 3 else sub_key[:3]
-            )
+            sub_key = sub_key if len(sub_key) <= 3 else sub_key[:3]
+            plane = self.planes[int(z)]
+            # Pipeline-built planes hold live device factors: slice each
+            # plane ON-CHIP (batched panel matmul over intersecting blocks,
+            # PMDArray._getitem_device) — never the CSR export, which would
+            # pull every plane's full factor set device->host (BASELINE
+            # north star; the 2-D path got this in round 4, reference
+            # pmdarray.py:132-171 semantics per plane).
+            if plane._blocksparse is not None:
+                frame = plane._getitem_device(sub_key)
+            else:
+                frame = plane._getitem_host(sub_key)
             per_plane.append(frame)
         out = np.stack(per_plane, axis=1)  # (t, z, ...)
         return out.squeeze().astype(np.float32)
@@ -75,6 +84,20 @@ class VolumetricPMD:
             plane.to_npz(path)
             paths.append(path)
         return paths
+
+    def close(self, materialize: bool = True) -> None:
+        """Release every plane's device (HBM) buffers — see
+        :meth:`PMDArray.close`. A volumetric result holds N planes of
+        factors on device; freeing them previously required a manual loop."""
+        for plane in self.planes:
+            plane.close(materialize=materialize)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def volumetric_decomposition(

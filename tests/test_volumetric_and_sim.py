@@ -63,6 +63,71 @@ class TestVolumetric:
         sub = vol[0:4, 0]
         assert sub.shape == (4, 20, 20)
 
+    def test_four_d_slicing_stays_on_device(self, monkeypatch):
+        # pipeline-built planes hold live device factors: 4-D slicing must
+        # route through each plane's on-device path and never materialize
+        # the scipy CSR export (VERDICT r4 #3; mirrors the 2-D spy test in
+        # tests/test_pipeline.py)
+        from localmd_tpu.pmd_array import PMDArray
+
+        planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=8)
+        vol = volumetric_decomposition(
+            planes, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        assert all(p._blocksparse is not None for p in vol.planes)
+
+        calls = []
+        orig = PMDArray._ensure_csr
+
+        def spy(self_):
+            calls.append(1)
+            return orig(self_)
+
+        monkeypatch.setattr(PMDArray, "_ensure_csr", spy)
+        out = vol[0:4, :, 2:12, 3:13]
+        assert out.shape == (4, 2, 10, 10)
+        _ = vol[5]
+        _ = vol[0:3, 1, 0:5]
+        assert not calls, "volumetric slicing must never build the CSR"
+        monkeypatch.setattr(PMDArray, "_ensure_csr", orig)
+
+        # device and host paths agree
+        dev = vol[0:4, :, 2:12, 3:13]
+        for p in vol.planes:
+            p.u  # materialize host factors
+            p.r
+        saved = [p._blocksparse for p in vol.planes]
+        for p in vol.planes:
+            p._blocksparse = None
+        try:
+            host = vol[0:4, :, 2:12, 3:13]
+        finally:
+            for p, b in zip(vol.planes, saved):
+                p._blocksparse = b
+        np.testing.assert_allclose(dev, host, atol=1e-4)
+
+    def test_close_releases_all_planes(self):
+        planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=9)
+        vol = volumetric_decomposition(
+            planes, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        before = vol[0:2, :, 0:5, 0:5]
+        vol.close()  # materialize=True: host factors survive
+        assert all(p._blocksparse is None for p in vol.planes)
+        after = vol[0:2, :, 0:5, 0:5]
+        np.testing.assert_allclose(after, before, atol=1e-4)
+
+        # context manager delegates to close()
+        planes2 = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=10)
+        with volumetric_decomposition(
+            planes2, (10, 10), frame_range=280, max_components=4,
+            background_rank=1, temporal_avg_factor=4, sim_iters=15, seed=0,
+        ) as vol2:
+            assert vol2.shape == (280, 2, 20, 20)
+        assert all(p._blocksparse is None for p in vol2.planes)
+
     def test_save(self, tmp_path):
         planes = volumetric_stack(n_planes=2, d1=20, d2=20, t=280, seed=7)
         vol = volumetric_decomposition(
