@@ -185,6 +185,97 @@ def estimate_pipeline_flops(
     return fl
 
 
+def _stage_stats(timing_dicts):
+    """Per-stage median + IQR over the warm runs: {stage: {median_s, iqr_s}}."""
+    stats = {}
+    for d in timing_dicts:
+        for k, v in d.items():
+            stats.setdefault(k, []).append(float(v))
+    out = {}
+    for k, vals in stats.items():
+        v = sorted(vals)
+        n = len(v)
+        med = v[n // 2] if n % 2 else 0.5 * (v[n // 2 - 1] + v[n // 2])
+        q1 = v[max(0, int(0.25 * (n - 1)))]
+        q3 = v[min(n - 1, int(round(0.75 * (n - 1))))]
+        out[k] = {"median_s": round(med, 4), "iqr_s": round(q3 - q1, 4)}
+    return out
+
+
+def _prior_rounds():
+    """Parse every committed BENCH_r*.json: [(round, value, big_mpf_s)]."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        if parsed is None and isinstance(doc, dict) and "value" in doc:
+            parsed = doc
+        if not isinstance(parsed, dict) or "value" not in parsed:
+            continue
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(p))
+        big = (parsed.get("detail") or {}).get("leg_1024x1024x4096_u16") or {}
+        rounds.append(
+            (
+                int(m.group(1)) if m else -1,
+                float(parsed["value"]),
+                float(big["mpf_s"]) if "mpf_s" in big else None,
+            )
+        )
+    return rounds
+
+
+def regression_gate(current_mpfs, warm_mpfs_samples, big_mpfs=None,
+                    threshold=0.8):
+    """Cross-round perf gate (VERDICT r4 #5): compare this run's headline
+    numbers against the BEST prior committed BENCH_r*.json and flag >20%
+    regressions, annotating whether the delta sits inside this run's own
+    measured intra-day IQR (tunnel weather) or is a real slowdown."""
+    rounds = _prior_rounds()
+    regressed = []
+    v = sorted(warm_mpfs_samples)
+    n = len(v)
+    q1 = v[max(0, int(0.25 * (n - 1)))]
+    q3 = v[min(n - 1, int(round(0.75 * (n - 1))))]
+    iqr = q3 - q1
+    if rounds:
+        best_round, best_val = max(
+            ((r, val) for r, val, _ in rounds), key=lambda x: x[1]
+        )
+        if current_mpfs < threshold * best_val:
+            regressed.append(
+                {
+                    "metric": "mpf_s_512",
+                    "current": round(current_mpfs, 2),
+                    "best_prior": round(best_val, 2),
+                    "best_round": best_round,
+                    "within_intraday_iqr": bool(
+                        current_mpfs + iqr >= threshold * best_val
+                    ),
+                }
+            )
+        bigs = [(r, b) for r, _, b in rounds if b is not None]
+        if big_mpfs is not None and bigs:
+            br, bv = max(bigs, key=lambda x: x[1])
+            if big_mpfs < threshold * bv:
+                regressed.append(
+                    {
+                        "metric": "mpf_s_1024",
+                        "current": round(big_mpfs, 2),
+                        "best_prior": round(bv, 2),
+                        "best_round": br,
+                    }
+                )
+    return regressed, round(iqr, 2)
+
+
 def _retry_run(movie, attempts=3, **kw):
     """The tunneled TPU is multi-tenant: identical programs OOM or fit
     run-to-run depending on co-tenants. Retry RESOURCE_EXHAUSTED a couple
@@ -219,6 +310,7 @@ def main():
 
     _, cold = _retry_run(movie)
     warms = []
+    stage_timings = []
     pmd = None
     for _ in range(5):
         try:
@@ -235,6 +327,7 @@ def main():
                   "retries", file=sys.stderr)
             continue  # keep the warms already collected
         warms.append(w)
+        stage_timings.append(dict(getattr(pmd, "pipeline_timings", {}) or {}))
     warm = min(warms)  # best-of-5: tunnel dispatch jitter dominates
     median = sorted(warms)[len(warms) // 2]
 
@@ -301,6 +394,13 @@ def main():
     )
     peak_tflops, chip_kind = _chip_peak_tflops()
     tflops = flops / warm / 1e12
+
+    # -- cross-round regression gate (VERDICT r4 #5) -------------------------
+    warm_mpfs_samples = [pixel_frames / w / 1e6 for w in warms]
+    regressed, intraday_iqr = regression_gate(
+        mpfs, warm_mpfs_samples,
+        big_mpfs=(big_leg or {}).get("mpf_s"),
+    )
     print(
         json.dumps(
             {
@@ -319,6 +419,9 @@ def main():
                     "mfu_vs_bf16_peak": round(tflops / peak_tflops, 5),
                     "chip": chip_kind,
                     "peak_bf16_tflops": peak_tflops,
+                    "stages": _stage_stats(stage_timings),
+                    "warm_mpfs_iqr": intraday_iqr,
+                    "regressed": regressed,
                     **(
                         {"leg_1024x1024x4096_u16": big_leg}
                         if big_leg is not None
