@@ -267,6 +267,23 @@ def localmd_decomposition(
     check_fov_size((dataset_obj.shape[1], dataset_obj.shape[2]))
     if order not in ("F", "C"):
         raise ValueError(f"order must be 'F' or 'C', got {order!r}")
+    # Fail FAST on a misconfigured jax.distributed run — BEFORE any
+    # streaming (a mesh-less 2-process run previously crashed only after
+    # the stats pass, block stage, fsvd AND the V stream).
+    from localmd_tpu.parallel.multihost import (
+        is_multihost,
+        validate_multihost_mesh,
+    )
+
+    validate_multihost_mesh(mesh)
+    multi_host = is_multihost()
+    if multi_host and checkpoint_path is not None:
+        raise ValueError(
+            "checkpoint_path is not supported under jax.distributed yet: "
+            "every process would race writing identical stage files to the "
+            "same path. Run with checkpoint_path=None, or checkpoint from "
+            "a single-host run."
+        )
     # Seeded runs draw window samples / background frames from a LOCAL
     # RandomState (bit-identical stream to the previous global
     # ``np.random.seed(seed)``: same MT19937, same consumption order) so
@@ -484,6 +501,9 @@ def localmd_decomposition(
         # stage (the block kernels take thresholds as traced args). With
         # checkpointing enabled the save below would force the sync anyway,
         # so return host floats in that case.
+        # Multi-host: every process runs this Monte-Carlo independently —
+        # it is a pure function of (seed, shape, iters), so per-host
+        # duplication is bit-identical and cheaper than a broadcast.
         spatial_threshold, temporal_threshold = threshold_heuristic(
             (b1, b2, window_chunks),
             num_comps=1,
@@ -619,6 +639,13 @@ def localmd_decomposition(
     if mesh is not None:
         n_dev = mesh.devices.size
         bb = ((bb + n_dev - 1) // n_dev) * n_dev  # shardable chunk size
+    if multi_host:
+        # every process must dispatch the SAME global batch shape: take the
+        # cross-process minimum (per-host memory_stats can differ; a
+        # divergent bb would deadlock the SPMD dispatch)
+        from localmd_tpu.parallel.multihost import agree_int_min
+
+        bb = agree_int_min(bb)
     display(
         f"Decomposing {n_blocks} overlapping blocks "
         f"({b1}x{b2}, max {max_components} comps/block) in batches of {bb}"
@@ -631,6 +658,25 @@ def localmd_decomposition(
         temporal_basis_crop = jnp.asarray(loaded["temporal_basis_crop"])
         bb = 0  # skip the stage below
 
+    # Multi-host block stage: the init movie is replicated ONCE as a global
+    # array (every host computed an identical copy from shared storage);
+    # starts/keys shard over the host-spanning mesh per batch; thresholds
+    # are pulled to host scalars (device scalars are host-local arrays a
+    # multi-host SPMD dispatch cannot consume).
+    _mh_data_g = None
+    _mh_thr = None
+    if multi_host and not blocks_ckpt:
+        from jax.sharding import PartitionSpec as _P
+
+        from localmd_tpu.parallel import multihost as _mh
+
+        if single_window:
+            _mh_data_g = _mh.host_local_to_global(mesh, _P(), data_crop)
+        _mh_thr = (
+            np.float32(spatial_threshold),
+            np.float32(temporal_threshold),
+        )
+
     def _dispatch_batch(idx_padded):
         """Run one padded batch of block ids (need not be contiguous) through
         the compiled chunk program; returns the WindowedPMDResult."""
@@ -638,6 +684,52 @@ def localmd_decomposition(
         keys_batch = jnp.asarray(
             block_keys[idx_padded] if single_window else block_keys[:, idx_padded]
         )
+        if multi_host:
+            # SPMD over the host-spanning mesh; outputs are gathered so
+            # every host continues with identical full panels (the cheap
+            # downstream stages then run replicated per host — see
+            # parallel.multihost module docs)
+            from jax.sharding import PartitionSpec as _P
+
+            from localmd_tpu.parallel import multihost as _mh
+            from localmd_tpu.parallel.mesh import BLOCK_AXIS as _BA
+            from localmd_tpu.parallel.sharded import (
+                sharded_window0_chunk_step,
+                sharded_windowed_pmd,
+            )
+
+            sthr_h, tthr_h = _mh_thr
+            if single_window:
+                starts_g = _mh.host_local_to_global(
+                    mesh, _P(_BA), np.asarray(starts_batch)
+                )
+                keys_g = _mh.host_local_to_global(
+                    mesh, _P(_BA), np.asarray(keys_batch)
+                )
+                acc_c, counts_c, v_c = sharded_window0_chunk_step(
+                    mesh, _mh_data_g, starts_g, keys_g, b1, b2,
+                    max_components, temporal_avg_factor, spatial_avg_factor,
+                    sthr_h, tthr_h, max_consecutive_failures, sden, tden,
+                    t_used=crop_avg_constant,
+                )
+            else:
+                patch_batch = extract_patches(data_crop, starts_batch, b1, b2)
+                patch_g = _mh.host_local_to_global(mesh, _P(_BA), patch_batch)
+                keys_g = _mh.host_local_to_global(
+                    mesh, _P(None, _BA), np.asarray(keys_batch), shard_axis=1
+                )
+                acc_c, counts_c, v_c = sharded_windowed_pmd(
+                    mesh, patch_g, keys_g, sthr_h, tthr_h,
+                    n_windows=n_windows_global, window_length=wl_eff,
+                    max_rank=max_components,
+                    temporal_avg_factor=temporal_avg_factor,
+                    spatial_avg_factor=spatial_avg_factor,
+                    max_consecutive_failures=max_consecutive_failures,
+                    spatial_denoiser=sden, temporal_denoiser=tden,
+                )
+            return engine.WindowedPMDResult(
+                *_mh.replicate_block_outputs(mesh, acc_c, counts_c, v_c)
+            )
         if single_window and mesh is None and warmer is not None:
             compiled = warmer.get(
                 data_crop.shape,
@@ -800,7 +892,9 @@ def localmd_decomposition(
                 # probe and execution. Halve the batch and redo the stage
                 # (results are per-block, so a rerun is exact, and the PRNG
                 # keys are pre-split per block — same seed, same sketches).
-                if not is_device_oom(e):
+                # Multi-host: a one-sided OOM retry would diverge the SPMD
+                # dispatch shapes across processes (deadlock) — re-raise.
+                if not is_device_oom(e) or multi_host:
                     raise
                 new_bb = max(16, bb // 2)
                 if mesh is not None:
@@ -953,7 +1047,12 @@ def localmd_decomposition(
         else:
             target_v = v_cropped
         p_ = compute_lowrank_factorized_svd(
-            u, target_v, only_left=True, mesh=mesh,
+            u, target_v, only_left=True,
+            # Under multi-host the panels were gathered to every process, so
+            # the (small) Gram chain runs replicated per host — identical
+            # inputs + identical programs = identical P on every process,
+            # cheaper than a cross-host sharded Gram at these sizes.
+            mesh=None if multi_host else mesh,
             expected_rank=total_rank + k_bg,
         )
         ckpt.save("projector", p=p_)
@@ -994,6 +1093,16 @@ def localmd_decomposition(
             else:
                 display("Running streaming V regression over the full movie")
                 v = load_obj.v_projection(u, p, mesh=mesh)
+                if multi_host:
+                    # frames-sharded global -> identical full host-local V
+                    # on every process: the final reformat and the returned
+                    # PMDArray are then ordinary local objects (V is small,
+                    # rank x T)
+                    from localmd_tpu.parallel.multihost import (
+                        replicate_frame_sharded,
+                    )
+
+                    v = replicate_frame_sharded(v)
                 v_resumed = False
             _mark("v_regression")
             display("Final SVD reformat")
@@ -1004,6 +1113,7 @@ def localmd_decomposition(
                 not is_device_oom(e)
                 or getattr(load_obj, "_cache", None) is None
                 or attempt
+                or multi_host  # one-sided retry would desync the processes
             ):
                 raise
             display(

@@ -1,17 +1,22 @@
-"""REAL multi-process fan-out test.
+"""REAL multi-process fan-out tests.
 
 Everything else in the suite simulates multi-host by patching
-``jax.process_count``; this test launches TWO actual ``jax.distributed``
-processes (CPU backend, 4 virtual devices each, coordinator on localhost)
-and runs the streaming V regression over a host-spanning 8-device mesh —
-the documented multi-host input pipeline (docs/ARCHITECTURE.md §multi-host):
+``jax.process_count``; these tests launch TWO actual ``jax.distributed``
+processes (CPU backend, 4 virtual devices each, coordinator on localhost).
 
-  - each process streams only its contiguous chunk stripe
-    (``partition_ranges_for_host``),
-  - per-stripe V columns assemble into ONE global frames-sharded array via
-    ``jax.make_array_from_process_local_data`` with zero cross-host V bytes,
-  - each process's addressable shards match the single-process reference
-    columns bit-for-bit (computed here, in the parent).
+- ``test_two_process_v_regression_fan_out`` — the distributed statistics
+  pass (whole-chunk per-host stripes, UNALIGNED with the frame shard
+  boundary) + the streaming V regression over a host-spanning 8-device
+  mesh: per-stripe V columns assemble into ONE global frames-sharded array
+  via ``jax.make_array_from_process_local_data`` with zero cross-host V
+  bytes; each process's addressable shards match the single-process
+  reference bit-for-bit.
+- ``test_two_process_full_pipeline`` — ``localmd_decomposition`` END TO END
+  in two real processes over the host-spanning mesh (block stage sharded
+  across hosts, thresholds/fsvd replicated per host, V stripes assembled
+  then replicated), compared against a single-process run on the same
+  8-device mesh. Also asserts the mesh-less / local-mesh fail-fast raises
+  BEFORE any streaming.
 """
 
 import json
@@ -38,12 +43,48 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _launch_workers(mode, fixture, tmp_path, timeout=420):
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+    }
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"ok-{mode}-{pid}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER, mode, coordinator, "2", str(pid),
+                 str(fixture), str(out)],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for proc in procs:
+        try:
+            stdout, _ = proc.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for kill in procs:
+                kill.kill()
+            pytest.fail("multi-host worker timed out (coordinator hang?)")
+        logs.append(stdout.decode(errors="replace"))
+    for pid, (proc, log) in enumerate(zip(procs, logs)):
+        assert proc.returncode == 0, f"worker {pid} failed:\n{log}"
+    return [json.loads(out.read_text()) for out in outs]
+
+
 @pytest.mark.slow
 def test_two_process_v_regression_fan_out(tmp_path, rng):
-    t, d1, d2 = 256, 20, 20
+    t, d1, d2 = 320, 20, 20
     b1 = b2 = 10
-    batch_size = 64  # 64-frame chunks -> stripes align with process shards
-    frame_constant = 128  # 2 stats chunks -> one per host: split accumulation
+    batch_size = 64  # V chunks; host frame-stripe boundary (160) splits one
+    # 3 stats chunks over 2 hosts: host 0 gets two WHOLE chunks, host 1 one
+    # (the unaligned case where a mid-chunk split would shift Welch noise)
+    frame_constant = 128
 
     movie = (rng.standard_normal((t, d1, d2)) + 4).astype(np.float32)
     grid = BlockGrid(d1, d2, (b1, b2))
@@ -74,42 +115,50 @@ def test_two_process_v_regression_fan_out(tmp_path, rng):
         std_img=np.asarray(loader.std_img),
     )
 
-    coordinator = f"127.0.0.1:{_free_port()}"
-    env = {
-        **os.environ,
-        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
-        "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-    }
-    procs, outs = [], []
-    for pid in range(2):
-        out = tmp_path / f"ok-{pid}.json"
-        outs.append(out)
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, WORKER, coordinator, "2", str(pid),
-                 str(fixture), str(out)],
-                env=env, cwd=REPO,
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            )
-        )
-    logs = []
-    for proc in procs:
-        try:
-            stdout, _ = proc.communicate(timeout=420)
-        except subprocess.TimeoutExpired:
-            for kill in procs:
-                kill.kill()
-            pytest.fail("multi-host worker timed out (coordinator hang?)")
-        logs.append(stdout.decode(errors="replace"))
-    for pid, (proc, log) in enumerate(zip(procs, logs)):
-        assert proc.returncode == 0, f"worker {pid} failed:\n{log}"
-
+    results = _launch_workers("vreg", fixture, tmp_path)
     total_cols = 0
-    for pid, out in enumerate(outs):
-        result = json.loads(out.read_text())
+    for pid, result in enumerate(results):
         assert result["ok"] and result["pid"] == pid
         assert result["global_shape"] == [5, t]
         total_cols += result["checked_cols"]
     # the two processes' addressable shards tile the full frames axis
     assert total_cols == t
+
+
+@pytest.mark.slow
+def test_two_process_full_pipeline(tmp_path, rng):
+    """localmd_decomposition end-to-end in TWO real jax.distributed
+    processes: block stage sharded over the host-spanning mesh, stats and V
+    distributed, thresholds/fsvd replicated — output matches a
+    single-process run on the same 8-device mesh (VERDICT r4 #2)."""
+    from localmd_tpu import localmd_decomposition
+    from localmd_tpu.parallel.mesh import make_mesh
+
+    t, d1, d2 = 320, 20, 20
+    kw = dict(
+        frame_range=320, max_components=4, background_rank=1,
+        temporal_avg_factor=4, sim_iters=15, seed=0,
+    )
+    low = (rng.random((d1 * d2, 5)) @ rng.random((5, t))).T
+    movie = (low.reshape(t, d1, d2) + rng.standard_normal((t, d1, d2))).astype(
+        np.float32
+    )
+
+    # single-process reference on the SAME 8-device mesh (identical shard
+    # shapes -> identical block programs; fsvd runs unsharded under
+    # multi-host, so the comparison carries a small f32-association tol)
+    pmd = localmd_decomposition(movie, (10, 10), mesh=make_mesh(8), **kw)
+    recon_ref = pmd[:, :, :]
+
+    fixture = tmp_path / "fixture.npz"
+    np.savez(
+        fixture, movie=movie, b1=10, b2=10, recon_ref=recon_ref,
+        rank_ref=pmd.rank, mean_ref=np.asarray(pmd.mean_img),
+        std_ref=np.asarray(pmd.var_img), **kw,
+    )
+
+    results = _launch_workers("pipeline", fixture, tmp_path, timeout=600)
+    for pid, result in enumerate(results):
+        assert result["ok"] and result["pid"] == pid
+        assert result["failfast_checked"]
+        assert result["rank"] == result["rank_ref"], result
