@@ -202,6 +202,27 @@ def pack_components(
     Returns:
         (updated acc, updated counts).
     """
+    acc, counts, _ = _pack_components_route(
+        u_new, None, decisions, acc, counts, max_consecutive_failures
+    )
+    return acc, counts
+
+
+def _pack_components_route(
+    u_new: Array,
+    v_new: Optional[Array],
+    decisions: Array,
+    acc: Array,
+    counts: Array,
+    max_consecutive_failures: int,
+) -> Tuple[Array, Array, Optional[Array]]:
+    """pack_components core; optionally routes temporal components through
+    the SAME one-hot. With ``acc`` starting from zero, the routed temporal
+    slots equal ``acc^T @ X`` exactly when ``v_new = u_new^T @ X`` — the
+    algebraic shortcut that lets the single-window chunk step skip the
+    whole-patch temporal-projector matmul (reference
+    decomposition.py:390-407 semantics preserved up to the zero singular
+    value rows, which project to exact zeros instead of f32 noise)."""
     slots = acc.shape[-1]
     keep = filter_by_failures(decisions > 0, max_consecutive_failures)
     target = counts[:, None] + jnp.cumsum(keep, axis=-1) - 1     # (n, r)
@@ -212,7 +233,10 @@ def pack_components(
     ).astype(u_new.dtype)                                        # (n, r, S)
     acc = acc + _mm(u_new, onehot)
     counts = counts + jnp.sum(valid, axis=-1)
-    return acc, counts
+    v_fit = None
+    if v_new is not None:
+        v_fit = _mm(jnp.swapaxes(onehot, -1, -2), v_new)         # (n, S, t)
+    return acc, counts, v_fit
 
 
 @jax.jit
@@ -261,17 +285,19 @@ def window0_chunk_step(
         # temporal-average crop applied per patch so the caller never has to
         # materialize a cropped copy of the whole init movie
         patches = patches[..., :t_used]
-    u, decisions, _ = single_block_md_batched(
+    u, decisions, v = single_block_md_batched(
         patches, keys, max_rank, temporal_avg_factor, spatial_avg_factor,
         spatial_threshold, temporal_threshold, spatial_denoiser, temporal_denoiser,
     )
     n = patches.shape[0]
     acc = jnp.zeros((n, b1 * b2, max_rank), dtype=patches.dtype)
     counts = jnp.zeros((n,), dtype=jnp.int32)
-    acc, counts = pack_components(
-        u, decisions, acc, counts, max_consecutive_failures
+    # v == u^T @ patches_flat row-for-row (s folded into vt; zero-s rows
+    # are exact zeros), so routing it through the packing one-hot IS the
+    # temporal projector acc^T @ X — without re-reading the patch tensor.
+    acc, counts, v_fit = _pack_components_route(
+        u, v, decisions, acc, counts, max_consecutive_failures
     )
-    v_fit = temporal_projector_batched(acc, flatten_fov(patches))
     return acc, counts, v_fit
 
 

@@ -328,14 +328,21 @@ def clear_block_grid_cache() -> None:
 
 def extract_patches(data: Array, starts: Array, b1: int, b2: int) -> Array:
     """Gather overlapping patches: data (d1, d2, T) + starts (n, 2)
-    -> (n, b1, b2, T) via vmapped dynamic_slice."""
+    -> (n, b1, b2, T).
 
-    t = data.shape[-1]
-
-    def _one(st):
-        return jax.lax.dynamic_slice(data, (st[0], st[1], 0), (b1, b2, t))
-
-    return jax.vmap(_one)(starts)
+    Implemented as ONE pixel-row gather over the C-order-flattened FOV:
+    XLA lowers a vmapped 3-D ``dynamic_slice`` to a far slower gather
+    (measured 29.9 ms vs 16.6 ms for a 256-block 32^2 x 1020 chunk on v5e —
+    scripts/ablate_extract.py); a flat row-take moves the same bytes as
+    full-row copies.
+    """
+    d1, d2, t = data.shape
+    n = starts.shape[0]
+    rows = (starts[:, 0:1, None] + jnp.arange(b1)[None, :, None]) * d2 + (
+        starts[:, 1:2, None] + jnp.arange(b2)[None, None, :]
+    )
+    flat = data.reshape(d1 * d2, t)
+    return jnp.take(flat, rows.reshape(-1), axis=0).reshape(n, b1, b2, t)
 
 
 def overlap_add(

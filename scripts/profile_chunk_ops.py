@@ -20,8 +20,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
 
 import jax
+
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,16 +38,40 @@ def fence(x):
     return float(jnp.sum(jnp.ravel(x)[:1]))
 
 
-def timed(fn, *args, reps=5):
+_RTT = [0.0]
+
+
+def measure_rtt():
+    """The per-fence D2H round-trip on this link (min of several)."""
+    x = jnp.ones((8,), jnp.float32)
+    fence(x)
+    best = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        fence(x)
+        best = min(best, time.perf_counter() - t0)
+    _RTT[0] = best
+    return best
+
+
+def timed(fn, *args, reps=3, n=16):
+    """Per-execution seconds: n back-to-back ASYNC dispatches, ONE fence.
+
+    Dispatches are async on this tunneled runtime (queued programs execute
+    serially on device); the single closing fence costs one RTT, which is
+    measured separately and subtracted — per-op resolution well below the
+    28 ms RTT that drowns naive fence-per-call timing.
+    """
     out = fn(*args)
     fence(out if not isinstance(out, tuple) else out[0])
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(n):
+            out = fn(*args)
         fence(out if not isinstance(out, tuple) else out[0])
         best = min(best, time.perf_counter() - t0)
-    return best, out
+    return max(0.0, (best - _RTT[0]) / n), out
 
 
 def main():
@@ -74,6 +106,9 @@ def main():
     keys = jax.random.split(key, n)
     sthr = jnp.float32(1e9)
     tthr = jnp.float32(1e9)
+
+    rtt = measure_rtt()
+    print(f"fence RTT: {rtt * 1e3:.2f} ms", flush=True)
 
     rows = []
 
