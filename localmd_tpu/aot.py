@@ -135,6 +135,15 @@ class BlockProgramWarmer:
         if self._thread is not None:
             return
         self.kind = kind
+        coset_meta = None
+        if kind == "coset":
+            # the SAME deterministic plan the dispatch site derives — the
+            # shared helper is what keeps warm and dispatch in lockstep
+            plan = engine.coset_stage_plan(d1, d2, b1, b2)
+            if plan is None:
+                return
+            coset_meta, coset_ids, _ = plan
+            bb = len(coset_ids)  # the warm key: number of coset blocks
         if kind == "multi":
             shape_key = (bb, b1, b2, t_data)
         else:
@@ -162,6 +171,17 @@ class BlockProgramWarmer:
                         jax.ShapeDtypeStruct((n_windows, bb, 2), jnp.uint32),
                         jax.ShapeDtypeStruct((), jnp.float32),
                         jax.ShapeDtypeStruct((), jnp.float32),
+                    )
+                elif kind == "coset":
+                    fn = engine.window0_coset_stage
+                    args = (
+                        jax.ShapeDtypeStruct((d1, d2, t_data), jnp.float32),
+                        jax.ShapeDtypeStruct((bb, 2), jnp.uint32),
+                        coset_meta, b1, b2, max_components,
+                        temporal_avg_factor, spatial_avg_factor,
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                        jax.ShapeDtypeStruct((), jnp.float32),
+                        max_consecutive_failures, t_used,
                     )
                 else:
                     fn = engine.window0_chunk_step
@@ -217,7 +237,10 @@ class BlockProgramWarmer:
         ``starts`` is ignored (pass None)."""
         sthr = jnp.asarray(spatial_threshold, jnp.float32)
         tthr = jnp.asarray(temporal_threshold, jnp.float32)
-        if getattr(self, "kind", "single") == "multi":
+        kind = getattr(self, "kind", "single")
+        if kind in ("multi", "coset"):
+            # coset: ``data`` is the init movie, keys in coset-id order,
+            # block geometry baked into the program's static meta
             out = self._compiled(data, keys, sthr, tthr)
         else:
             out = self._compiled(data, starts, keys, sthr, tthr)

@@ -301,6 +301,225 @@ def window0_chunk_step(
     return acc, counts, v_fit
 
 
+# ---------------------------------------------------------------------------
+# Coset-structured single-window stage (gather-free)
+# ---------------------------------------------------------------------------
+#
+# The 50%-overlap block grid is a union of <= 4 disjoint coset lattices
+# (offsets {0, b/2} x {0, b/2}); within one coset, blocks tile the FOV
+# WITHOUT overlap, so the "patch tensor" is a pure reshape of a slice of the
+# init movie — no gather at all. Every big per-block product then runs as a
+# coset-view einsum (measured 3.2 ms vs 7.9 ms for gather+matmul per 256
+# blocks of 32^2 x 1020 on v5e, scripts/ablate_coset_matmul.py), and the
+# 16 ms patch gather disappears entirely. Blocks off the coset lattices
+# (tail-snapped starts of non-divisible FOVs) run through the gather path.
+#
+# Module flag: "auto" enables the coset dispatch off-CPU (CPU keeps the
+# chunked gather path so golden/parity numerics are unchanged); True/False
+# force it for tests.
+COSET_STAGE = "auto"
+
+
+def coset_stage_supported(b1: int, b2: int, spatial_avg_factor: int) -> bool:
+    """Static geometry eligibility for the coset stage, shared by the
+    pipeline dispatch and the AOT warm mirror: even blocks (coset lattices
+    exist), savg | b (VALID pooling == reference SAME pooling), and
+    savg | b/2 (coset offsets land on global pooling window boundaries)."""
+    sa = spatial_avg_factor
+    return (
+        b1 % 2 == 0
+        and b2 % 2 == 0
+        and b1 % sa == 0
+        and b2 % sa == 0
+        and (b1 // 2) % sa == 0
+        and (b2 // 2) % sa == 0
+    )
+
+
+def coset_stage_plan(d1: int, d2: int, b1: int, b2: int):
+    """Partition the block grid into regular coset lattices + remainder.
+
+    Returns (meta, ids, remainder_ids) — ``meta`` a static tuple of
+    (r_off, c_off, nr, nc) per coset, ``ids`` the global block ids in
+    coset-concatenated (row-major within coset) order — or None when the
+    grid has no coset structure (odd block sizes). Shared by the AOT
+    planner and the dispatch site so the warmed program cannot drift from
+    the dispatched one.
+    """
+    from localmd_tpu.ops.tiling import block_grid
+
+    if b1 % 2 or b2 % 2:
+        return None
+    grid = block_grid(d1, d2, (b1, b2))
+    s1, s2 = b1 // 2, b2 // 2
+    id_of = {
+        (int(r), int(c)): i for i, (r, c) in enumerate(np.asarray(grid.starts))
+    }
+    used = np.zeros(grid.n_blocks, bool)
+    meta, id_parts = [], []
+    for g1 in (0, 1):
+        for g2 in (0, 1):
+            r_off, c_off = g1 * s1, g2 * s2
+            nr = (d1 - r_off) // b1
+            nc = (d2 - c_off) // b2
+            if nr <= 0 or nc <= 0:
+                continue
+            ids = []
+            for a in range(nr):
+                for c in range(nc):
+                    i = id_of.get((r_off + a * b1, c_off + c * b2))
+                    if i is None or used[i]:
+                        ids = None
+                        break
+                    ids.append(i)
+                if ids is None:
+                    break
+            if ids is None:
+                continue
+            used[np.asarray(ids)] = True
+            meta.append((r_off, c_off, nr, nc))
+            id_parts.append(np.asarray(ids, np.int64))
+    if not meta:
+        return None
+    all_ids = np.concatenate(id_parts)
+    remainder = np.where(~used)[0]
+    return tuple(meta), all_ids, remainder
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 10, 11))
+def window0_coset_stage(
+    data: Array,
+    keys: Array,
+    meta: tuple,
+    b1: int,
+    b2: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    spatial_threshold: Array | float,
+    temporal_threshold: Array | float,
+    max_consecutive_failures: int,
+    t_used: int = 0,
+) -> Tuple[Array, Array, Array]:
+    """The whole single-window block stage over the regular coset lattices,
+    as ONE compiled program with ZERO patch gathers.
+
+    Per coset: slice+reshape the movie into the disjoint block tiling,
+    bin/pool for the coarse stage (reference decomposition.py:279-290
+    semantics — linear ops, exact for savg | b), batched rSVD, then every
+    X-touching product (v_coarse, spatial_proj, v_new) as a coset-view
+    einsum. Pixels are processed in C order and the accumulated panels are
+    converted to the F-order panel-row convention at the end (an 80 MB
+    transpose instead of two 1 GB ones).
+
+    Requires identity denoisers, savg | b1 and savg | b2, and
+    t_used % temporal_avg_factor == 0 — the pipeline checks these and falls
+    back to the chunked gather path otherwise.
+
+    Args:
+        data: (d1, d2, t) standardized, background-filtered init movie.
+        keys: (sum of coset block counts, 2) per-block PRNG keys, in
+            coset-concatenated order (``coset_stage_plan`` ids order).
+        meta: static ((r_off, c_off, nr, nc), ...) from coset_stage_plan.
+
+    Returns:
+        (acc (N_sel, b1*b2, max_rank) F-order panels, counts (N_sel,),
+        v_fit (N_sel, max_rank, t_used)).
+    """
+    if t_used and t_used < data.shape[-1]:
+        data = data[:, :, :t_used]
+    t = data.shape[-1]
+    tavg, sa = temporal_avg_factor, spatial_avg_factor
+    tb = t // tavg
+    hb1, hb2 = b1 // sa, b2 // sa
+    d1, d2 = data.shape[0], data.shape[1]
+
+    # Bin and pool the WHOLE FOV once, then take coset views: the same ops
+    # applied per-coset run on strided 5-D views, which XLA lowers an order
+    # of magnitude slower (measured 16.8 ms vs 1.8 ms for the bin at
+    # 512^2 x 1020 per coset). Block pooling windows coincide with global
+    # pooling windows because every coset offset is a multiple of savg
+    # (eligibility requires savg | b/2). Exact parity with the per-patch
+    # pool -> bin chain up to f32 association (both are means).
+    binned = jnp.mean(
+        data[:, :, : tb * tavg].reshape(d1, d2, tb, tavg), axis=-1
+    )
+    pooled_g = jax.lax.reduce_window(
+        data, 0.0, jax.lax.add, (sa, sa, 1), (sa, sa, 1), "VALID"
+    ) * (1.0 / (sa * sa))
+    pooled_binned_g = jax.lax.reduce_window(
+        binned, 0.0, jax.lax.add, (sa, sa, 1), (sa, sa, 1), "VALID"
+    ) * (1.0 / (sa * sa))
+
+    accs, counts_l, vfits = [], [], []
+    off = 0
+    for (r_off, c_off, nr, nc) in meta:
+        n_g = nr * nc
+        k_g = keys[off : off + n_g]
+        off += n_g
+        view = data[
+            r_off : r_off + nr * b1, c_off : c_off + nc * b2
+        ].reshape(nr, b1, nc, b2, t)
+
+        hr, hc = r_off // sa, c_off // sa
+        down_avg = (
+            pooled_binned_g[hr : hr + nr * hb1, hc : hc + nc * hb2]
+            .reshape(nr, hb1, nc, hb2, tb)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(n_g, hb1 * hb2, tb)
+        )
+        u_c = batched_truncated_random_svd(down_avg, k_g, max_rank)[0]
+
+        pooled = pooled_g[
+            hr : hr + nr * hb1, hc : hc + nc * hb2
+        ].reshape(nr, hb1, nc, hb2, t)
+        ucg = u_c.reshape(nr, nc, hb1, hb2, max_rank)
+        v_coarse = jnp.einsum(
+            "aicjt,acijr->acrt", pooled, ucg,
+            preferred_element_type=jnp.float32,
+        ).reshape(n_g, max_rank, t)
+        v_basis = jnp.swapaxes(
+            cholesky_qr2(jnp.swapaxes(v_coarse, -1, -2)), -1, -2
+        )
+
+        vbg = v_basis.reshape(nr, nc, max_rank, t)
+        spatial_proj = jnp.einsum(
+            "aicjt,acrt->acijr", view, vbg,
+            preferred_element_type=jnp.float32,
+        ).reshape(n_g, b1 * b2, max_rank)
+        u_final = cholesky_qr2(spatial_proj)
+
+        ufg = u_final.reshape(nr, nc, b1, b2, max_rank)
+        v_new = jnp.einsum(
+            "aicjt,acijr->acrt", view, ufg,
+            preferred_element_type=jnp.float32,
+        ).reshape(n_g, max_rank, t)
+        v_left, v_sing, v_right = svd_gram_left(v_new)
+        u_final = _mm(u_final, v_left)
+        v_final = v_sing[..., :, None] * v_right
+
+        u_img = u_final.reshape(n_g, b1, b2, max_rank)     # true (i, j) image
+        decisions = evaluate_fitness(
+            jnp.moveaxis(u_img, -1, 1), v_final,
+            spatial_threshold, temporal_threshold,
+        )
+        # panel rows are F-order within the block (BlockGrid.rows pairing)
+        u_f = u_img.transpose(0, 2, 1, 3).reshape(n_g, b1 * b2, max_rank)
+        acc0 = jnp.zeros((n_g, b1 * b2, max_rank), dtype=data.dtype)
+        c0 = jnp.zeros((n_g,), jnp.int32)
+        acc, cnt, v_fit = _pack_components_route(
+            u_f, v_final, decisions, acc0, c0, max_consecutive_failures
+        )
+        accs.append(acc)
+        counts_l.append(cnt)
+        vfits.append(v_fit)
+    return (
+        jnp.concatenate(accs, axis=0),
+        jnp.concatenate(counts_l, axis=0),
+        jnp.concatenate(vfits, axis=0),
+    )
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 9, 10, 11))
 def _md_pack_step(
     window: Array,

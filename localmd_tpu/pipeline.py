@@ -415,6 +415,30 @@ def localmd_decomposition(
                 device=ambient_device_or_first(),
             )
             if plan is not None:
+                kind = plan["kind"]
+                if (
+                    kind == "single"
+                    and checkpoint_path is None
+                    and sden is identity
+                    and tden is identity
+                    and engine.coset_stage_supported(
+                        plan["b1"], plan["b2"], spatial_avg_factor
+                    )
+                    and (
+                        engine.COSET_STAGE is True
+                        or (
+                            engine.COSET_STAGE == "auto"
+                            and jax.default_backend() not in ("cpu",)
+                        )
+                    )
+                    and engine.coset_stage_plan(
+                        plan["d1"], plan["d2"], plan["b1"], plan["b2"]
+                    )
+                    is not None
+                ):
+                    # mirror of the dispatch-site eligibility: the block
+                    # stage will run the gather-free coset program
+                    kind = "coset"
                 warmer.start(
                     d1=plan["d1"], d2=plan["d2"],
                     # multi-window programs take the pre-gathered patch
@@ -432,7 +456,7 @@ def localmd_decomposition(
                     spatial_denoiser=sden, temporal_denoiser=tden,
                     t_used=plan["crop_avg_constant"],
                     device=ambient_device(),
-                    kind=plan["kind"], n_windows=plan["n_windows"],
+                    kind=kind, n_windows=plan["n_windows"],
                     window_length=plan["window_length"],
                 )
 
@@ -877,15 +901,85 @@ def localmd_decomposition(
         v_blocks = jnp.asarray(np.concatenate([p[3] for p in parts])[order])
         return panels, counts, v_blocks
 
-    if not blocks_ckpt:
-        stage_fn = (
-            _run_block_stage_checkpointed
-            if checkpoint_path is not None
-            else _run_block_stage
+    # -- coset-structured dispatch (gather-free; engine.window0_coset_stage) --
+    # Eligible when the stage is single-window, unsharded, denoiser-free,
+    # un-checkpointed, and the grid decomposes into regular coset lattices.
+    # CPU keeps the chunked gather path ("auto") so golden/parity numerics
+    # are byte-stable; engine.COSET_STAGE=True/False forces either way.
+    coset_plan = None
+    if (
+        not blocks_ckpt
+        and single_window
+        and mesh is None
+        and not multi_host
+        and checkpoint_path is None
+        and sden is engine.identity
+        and tden is engine.identity
+        and engine.coset_stage_supported(b1, b2, spatial_avg_factor)
+        and (
+            engine.COSET_STAGE is True
+            or (
+                engine.COSET_STAGE == "auto"
+                and jax.default_backend() not in ("cpu",)
+            )
         )
+    ):
+        coset_plan = engine.coset_stage_plan(d1, d2, b1, b2)
+
+    def _run_block_stage_coset():
+        meta, ids, remainder = coset_plan
+        keys_sel = block_keys[jnp.asarray(ids)]
+        out = None
+        if warmer is not None:
+            compiled = warmer.get(
+                data_crop.shape,
+                len(ids),
+                (b1, b2, max_components, temporal_avg_factor,
+                 spatial_avg_factor, max_consecutive_failures, sden, tden,
+                 crop_avg_constant, "coset", 0, 0),
+            )
+            if compiled is not None:
+                try:
+                    out = warmer(
+                        data_crop, None, keys_sel,
+                        spatial_threshold, temporal_threshold,
+                    )
+                except TypeError:
+                    out = None  # aval mismatch: traced dispatch below
+        if out is None:
+            out = engine.window0_coset_stage(
+                data_crop, keys_sel, meta, b1, b2, max_components,
+                temporal_avg_factor, spatial_avg_factor,
+                spatial_threshold, temporal_threshold,
+                max_consecutive_failures, crop_avg_constant,
+            )
+        acc, cnt, v_fit = out
+        if remainder.size:
+            # tail-snapped blocks off the coset lattices: one gather-path
+            # batch at their exact count (a handful at most)
+            res = _dispatch_batch(remainder)
+            acc = jnp.concatenate([acc, res.spatial], axis=0)
+            cnt = jnp.concatenate([cnt, res.counts], axis=0)
+            v_fit = jnp.concatenate([v_fit, res.temporal], axis=0)
+            ids = np.concatenate([ids, remainder])
+        order = jnp.asarray(np.argsort(ids))
+        panels = jnp.take(acc, order, axis=0)
+        counts = np.asarray(jnp.take(cnt, order, axis=0))  # (N,) SYNC point
+        v_blocks = jnp.take(v_fit, order, axis=0)
+        return panels, counts, v_blocks
+
+    if not blocks_ckpt:
         while True:
             try:
-                panels, counts, v_blocks = stage_fn(bb)
+                if coset_plan is not None:
+                    panels, counts, v_blocks = _run_block_stage_coset()
+                else:
+                    stage_fn = (
+                        _run_block_stage_checkpointed
+                        if checkpoint_path is not None
+                        else _run_block_stage
+                    )
+                    panels, counts, v_blocks = stage_fn(bb)
                 break
             except Exception as e:  # noqa: BLE001
                 # Multi-tenant TPUs: free HBM can shrink between the budget
@@ -896,6 +990,15 @@ def localmd_decomposition(
                 # dispatch shapes across processes (deadlock) — re-raise.
                 if not is_device_oom(e) or multi_host:
                     raise
+                if coset_plan is not None:
+                    # whole-grid coset program didn't fit this tenancy:
+                    # fall back to the memory-bounded chunked dispatch
+                    coset_plan = None
+                    display(
+                        "Device memory exhausted in the coset block stage; "
+                        f"retrying chunked dispatch in batches of {bb}"
+                    )
+                    continue
                 new_bb = max(16, bb // 2)
                 if mesh is not None:
                     # keep the retried batch shardable (shard_map requires

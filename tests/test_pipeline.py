@@ -1603,3 +1603,47 @@ class TestMultiTenantOOMRetry:
             self._run(movie)
         assert len(calls) == 1
         assert not released
+
+
+class TestCosetAOTWarm:
+    """The coset block stage must hit the warmed coset program when forced
+    on (engine.COSET_STAGE=True works on CPU) and stay numerically equal."""
+
+    def test_coset_warm_used_and_identical(self, rng, monkeypatch):
+        import localmd_tpu.engine as eng
+
+        kw = dict(
+            block_sizes=(10, 10), frame_range=400, max_components=6,
+            background_rank=2, temporal_avg_factor=5, sim_iters=20, seed=0,
+        )
+        movie = make_low_rank_movie(4, (400, 40, 40), rng, noise=0.3)
+        off = localmd_decomposition(movie, aot_warm=False, **kw)
+        monkeypatch.setattr(eng, "COSET_STAGE", True)
+        coset_cold = localmd_decomposition(movie, aot_warm=False, **kw)
+        on = localmd_decomposition(movie, aot_warm=True, **kw)
+        assert on.pipeline_aot == {"enabled": True, "used": True}
+        # warmed coset run == traced coset run, bit-identical
+        np.testing.assert_allclose(on[5], coset_cold[5], atol=1e-6)
+        np.testing.assert_allclose(on.s, coset_cold.s, rtol=1e-6)
+        # coset path == chunked path at f32-association tolerance
+        assert on.rank == off.rank
+        scale = float(np.abs(off[5]).max()) or 1.0
+        np.testing.assert_allclose(
+            on[5] / scale, off[5] / scale, atol=5e-4
+        )
+
+    def test_coset_warm_plan_geometry(self):
+        from localmd_tpu.aot import BlockProgramWarmer
+        from localmd_tpu.engine import coset_stage_plan, identity
+
+        meta, ids, rem = coset_stage_plan(40, 40, 10, 10)
+        w = BlockProgramWarmer()
+        w.start(
+            d1=40, d2=40, t_data=400, bb=0, b1=10, b2=10, max_components=6,
+            temporal_avg_factor=5, spatial_avg_factor=2,
+            max_consecutive_failures=1, spatial_denoiser=identity,
+            temporal_denoiser=identity, t_used=400, kind="coset",
+        )
+        statics = (10, 10, 6, 5, 2, 1, identity, identity, 400, "coset", 0, 0)
+        assert w.get((40, 40, 400), len(ids), statics) is not None
+        assert w.get((40, 40, 400), len(ids) + 1, statics) is None
