@@ -28,6 +28,15 @@ from jax import Array
 
 DEFAULT_OVERSAMPLES = 10
 
+# NOTE (round 5): Pallas VMEM-resident batched solvers (Jacobi eigh,
+# Cholesky-inverse) were built, measured, and REJECTED — Mosaic allocates
+# every loop-body vector temporary on a 16 MB scoped-vmem stack (the
+# transpose-based Jacobi needs ~84 live temporaries/row and compiles only
+# at useless tile sizes), and the dots-only formulation that does compile
+# is MXU-latency-bound at 30 ms vs XLA's 9.4 ms for a (961, 30, 30) batch.
+# XLA's loop lowerings win at these shapes; see
+# scripts/ablate_jacobi_kernel.py and docs/ARCHITECTURE.md round-5 notes.
+
 # Test hook: when set, truncated_random_svd draws its Gaussian sketch from
 # this callable (shape -> array) instead of the per-call PRNG key. Lets
 # parity tests inject the SAME sketch into this implementation and the
@@ -354,12 +363,27 @@ def batched_truncated_random_svd(
     ``matrices``: (n, d, t); ``keys``: (n, 2) — each batch item gets an
     independent sketch so results match running ``truncated_random_svd``
     per item (the batched analogue of the reference's per-block host loop).
+
+    Natively batched (not vmapped): the inner CholeskyQR2/Gram-eigh then
+    see explicit (n, k, k) batches and route to the VMEM-resident Pallas
+    solvers on TPU — a vmap would hide the batch dimension from them.
     """
-
-    def _one(m, k):
-        return truncated_random_svd(m, k, rank, num_oversamples)
-
-    return jax.vmap(_one, in_axes=(0, 0))(matrices, keys)
+    n, d, t = matrices.shape
+    k = rank + num_oversamples
+    if _SKETCH_OVERRIDE is not None:
+        sketch = jnp.broadcast_to(
+            _SKETCH_OVERRIDE((t, k)).astype(matrices.dtype), (n, t, k)
+        )
+    else:
+        sketch = jax.vmap(
+            lambda kk: jax.random.normal(kk, (t, k), dtype=matrices.dtype)
+        )(keys)
+    projected = _mm(matrices, sketch)                    # (n, d, k)
+    q = cholesky_qr2(projected)
+    b = _mm(jnp.swapaxes(q, -1, -2), matrices)           # (n, k, t)
+    u_b, s, vt = svd_gram_left(b)
+    u = _mm(q, u_b)
+    return u[..., :rank], s[..., :rank], vt[..., :rank, :]
 
 
 def projected_svd(projection: Array, data: Array) -> Tuple[Array, Array, Array]:

@@ -389,3 +389,24 @@ class TestPowerIterations:
         e0, e2 = err(0), err(2)
         assert e2 <= e0 + 1e-6
         assert e2 < 1.05 * optimal, (e2, optimal)
+
+
+class TestBatchedRSVD:
+    def test_batched_rsvd_matches_per_item(self, rng):
+        # the natively-batched rSVD (explicit batch dims instead of vmap)
+        # must equal the per-item reference
+        from localmd_tpu.ops.linalg import (
+            batched_truncated_random_svd,
+            truncated_random_svd,
+        )
+
+        mats = jnp.asarray(rng.standard_normal((5, 80, 60)).astype(np.float32))
+        keys = jax.random.split(jax.random.PRNGKey(3), 5)
+        u, s, vt = batched_truncated_random_svd(mats, keys, 6)
+        for i in range(5):
+            ui, si, vti = truncated_random_svd(mats[i], keys[i], 6)
+            np.testing.assert_allclose(np.asarray(s[i]), np.asarray(si),
+                                       rtol=2e-4, atol=1e-3)
+            rec_b = np.asarray(u[i]) * np.asarray(s[i]) @ np.asarray(vt[i])
+            rec_r = np.asarray(ui) * np.asarray(si) @ np.asarray(vti)
+            np.testing.assert_allclose(rec_b, rec_r, atol=2e-3)
