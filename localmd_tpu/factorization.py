@@ -200,10 +200,8 @@ def compute_lowrank_factorized_svd(
     return projected_svd(p, new_temporal)
 
 
-def final_svd_reformat(
-    p: Array, v: Array, rel_tol: float = 1e-3
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """R, s, Vt from the mixing matrix and regressed temporal matrix.
+def final_svd_reformat(p: Array, v: Array, rel_tol: float = 1e-3):
+    """(R, s, Vt, keep) from the mixing matrix and regressed temporal matrix.
 
     The reference drops only exact-zero singular values
     (decomposition.py:896-904); in f32 the Gram-trick SVD produces garbage
@@ -211,15 +209,28 @@ def final_svd_reformat(
     prune those (default rel_tol=1e-3, above sqrt(eps_f32)*s_max ~ the Gram
     noise floor; such components carry < 1e-6 of the movie's variance).
     Pass rel_tol=0 for strict reference parity.
+
+    ``R``/``Vt`` are returned at FULL width with pruned slots zeroed in the
+    host ``s`` array; ``keep`` is the boolean column mask (see the masking
+    note below — PMDArray compacts lazily on host via ``k2_keep``).
     """
     r, s, vt = projected_svd(jnp.asarray(p), jnp.asarray(v))
     s_host = np.asarray(s)  # (K2,) — small pull
     cutoff = rel_tol * s_host[0] if (len(s_host) and rel_tol > 0) else 0.0
     good = s_host > cutoff if cutoff > 0 else s_host != 0
-    idx = jnp.asarray(np.nonzero(good)[0])
+    # Pruning is a zero-MASK, not a device compaction: r and vt keep the
+    # FULL K2 width with the pruned singular values zeroed in s, so the
+    # shapes of every downstream device program are rank-INDEPENDENT (the
+    # old jnp.take compactions compiled one program per final rank — an
+    # unwarmable 10+ s program load per fresh process on tunneled TPUs).
+    # All device consumers multiply r * s @ vt, where the zeros annihilate
+    # the pruned columns exactly; host-facing factors compact lazily via
+    # the returned mask (PMDArray k2_keep).
     # r and vt stay on device (D2H is slow on tunneled TPUs; PMDArray pulls
     # them lazily only when host slicing / serialization is requested).
-    return jnp.take(r, idx, axis=1), s_host[good], jnp.take(vt, idx, axis=0)
+    if not bool(good.all()):
+        s_host = np.where(good, s_host, 0.0).astype(s_host.dtype)
+    return r, s_host, vt, good
 
 
 def aggregate_local_and_global_decomposition(

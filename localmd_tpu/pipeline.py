@@ -1209,7 +1209,9 @@ def localmd_decomposition(
                 v_resumed = False
             _mark("v_regression")
             display("Final SVD reformat")
-            r, s_vals, vt = final_svd_reformat(p, v, rel_tol=final_rank_tol)
+            r, s_vals, vt, s_keep = final_svd_reformat(
+                p, v, rel_tol=final_rank_tol
+            )
             break
         except Exception as e:  # pragma: no cover - hardware OOM path
             if (
@@ -1235,7 +1237,9 @@ def localmd_decomposition(
         # D2H just to rewrite the identical file.
         ckpt.save("v", v=v)
     _mark("final_reformat")
-    display(f"Matrix decomposition completed (final rank {s_vals.shape[0]})")
+    display(
+        f"Matrix decomposition completed (final rank {int(s_keep.sum())})"
+    )
     display(f"Stage timings (s): {timings}")
 
     out = PMDArray(
@@ -1248,6 +1252,7 @@ def localmd_decomposition(
         load_obj.mean_img,
         load_obj.std_img,
         counts=counts,
+        k2_keep=s_keep,
     )
     out.pipeline_timings = timings
     out.pipeline_cache = {

@@ -106,6 +106,7 @@ class PMDArray:
         mean_img: np.ndarray,
         std_img: np.ndarray,
         counts: Optional[np.ndarray] = None,
+        k2_keep: Optional[np.ndarray] = None,
     ):
         """
         Args:
@@ -119,11 +120,25 @@ class PMDArray:
             data_shape: (n_frames, d1, d2).
             data_order: "F" or "C" pixel flattening convention.
             mean_img / std_img: (d1, d2) normalization images.
+            k2_keep: optional (K2,) boolean mask of KEPT singular-value
+                slots. The pipeline prunes by zero-MASKING s instead of
+                compacting r/vt on device (the compaction program's shape
+                would depend on the final rank — an unwarmable fresh
+                program load per process on tunneled TPUs); device
+                reconstruction multiplies r * s @ vt, where the zeros
+                annihilate pruned columns exactly, and the host-facing
+                factors (``.r``/``.s``/``.v``, serialization) compact
+                lazily through this mask.
         """
         self.order = data_order
         self.num_frames, self.fov_dim1, self.fov_dim2 = data_shape
         self._blocksparse: Optional[BlockSparseMatrix] = None
         self._counts = counts
+        if k2_keep is not None:
+            k2_keep = np.asarray(k2_keep, dtype=bool)
+            if bool(k2_keep.all()):
+                k2_keep = None  # nothing pruned: zero-overhead path
+        self._k2_keep = k2_keep
 
         if isinstance(u, BlockSparseMatrix):
             if counts is None:
@@ -183,7 +198,10 @@ class PMDArray:
                     "PMDArray was closed with materialize=False before its "
                     "host factors were materialized; no data remains"
                 )
-            self._r_compact = np.asarray(self._r_padded)[self._col_map, :]
+            rc = np.asarray(self._r_padded)[self._col_map, :]
+            if self._k2_keep is not None:
+                rc = rc[:, self._k2_keep]
+            self._r_compact = rc
         return self._r_compact
 
     @property
@@ -194,7 +212,10 @@ class PMDArray:
                     "PMDArray was closed with materialize=False before its "
                     "host factors were materialized; no data remains"
                 )
-            self._s_host = np.asarray(self._s_src)
+            sh = np.asarray(self._s_src)
+            if self._k2_keep is not None:
+                sh = sh[self._k2_keep]
+            self._s_host = sh
         return self._s_host
 
     @property
@@ -227,7 +248,10 @@ class PMDArray:
                     "PMDArray was closed with materialize=False before its "
                     "host factors were materialized; no data remains"
                 )
-            self._v_host = np.asarray(self._v_src)
+            vh = np.asarray(self._v_src)
+            if self._k2_keep is not None:
+                vh = vh[self._k2_keep]
+            self._v_host = vh
         return self._v_host
 
     @property
@@ -244,6 +268,8 @@ class PMDArray:
 
     @property
     def rank(self) -> int:
+        if self._k2_keep is not None:
+            return int(self._k2_keep.sum())
         src = self._s_host if self._s_src is None else self._s_src
         if src is None:
             raise RuntimeError(

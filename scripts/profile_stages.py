@@ -161,7 +161,7 @@ def profile(workload):
         v = load_obj.v_projection(u, p)
         mark("8_v_projection", v)
 
-        r, s_vals, vt = final_svd_reformat(p, v)
+        r, s_vals, vt, _keep = final_svd_reformat(p, v)
         mark("9_final_reformat", vt)
         return s_vals.shape[0]
 

@@ -141,7 +141,7 @@ def run_fenced(movie, d1, d2, t, b, frame_range, max_components=20,
     v = load_obj.v_projection(u, p)
     mark("v_regression", v)
 
-    r, s_vals, vt = final_svd_reformat(p, v, rel_tol=1e-3)
+    r, s_vals, vt, _keep = final_svd_reformat(p, v, rel_tol=1e-3)
     mark("final_reformat", s_vals)
     meta["final"] = int(s_vals.shape[0])
     return steps, meta

@@ -1647,3 +1647,67 @@ class TestCosetAOTWarm:
         statics = (10, 10, 6, 5, 2, 1, identity, identity, 400, "coset", 0, 0)
         assert w.get((40, 40, 400), len(ids), statics) is not None
         assert w.get((40, 40, 400), len(ids) + 1, statics) is None
+
+
+class TestMaskPruning:
+    """final_svd_reformat prunes by zero-MASKING s (device shapes stay
+    rank-independent — no per-rank take program); PMDArray compacts the
+    host-facing factors lazily via k2_keep."""
+
+    def test_reformat_returns_mask(self, rng):
+        from localmd_tpu.factorization import final_svd_reformat
+
+        p = jnp.asarray(rng.standard_normal((40, 12)).astype(np.float32))
+        # rank-6 V: half the singular values fall below the relative cutoff
+        low = rng.standard_normal((12, 6)) @ rng.standard_normal((6, 200))
+        v = jnp.asarray(low.astype(np.float32))
+        r, s, vt, keep = final_svd_reformat(p, v, rel_tol=1e-3)
+        assert r.shape[1] == 12 and vt.shape[0] == 12  # FULL width
+        assert s.shape == (12,)
+        assert keep.sum() < 12
+        assert (s[~keep] == 0).all()  # pruned slots zeroed
+
+    def test_pmdarray_k2_keep_compacts_host_factors(self, rng):
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+        from localmd_tpu.pmd_array import PMDArray
+
+        d = 20
+        grid = BlockGrid(d, d, (10, 10))
+        panels = rng.standard_normal(
+            (grid.n_blocks, 100, 3)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), d * d,
+            jnp.zeros((d * d, 1), np.float32),
+            starts=jnp.asarray(grid.starts), block_shape=(10, 10),
+        )
+        k1 = grid.n_blocks * 3 + 1
+        k2 = 8
+        r = rng.standard_normal((k1, k2)).astype(np.float32)
+        s_full = np.array([5, 4, 3, 2, 0, 0, 0, 0], np.float32)
+        keep = s_full > 0
+        v = rng.standard_normal((k2, 50)).astype(np.float32)
+        counts = np.full(grid.n_blocks, 3)
+        mean = np.zeros((d, d), np.float32)
+        std = np.ones((d, d), np.float32)
+
+        masked = PMDArray(u, jnp.asarray(r), s_full, jnp.asarray(v),
+                          (50, d, d), "F", mean, std, counts=counts,
+                          k2_keep=keep)
+        compact = PMDArray(u, jnp.asarray(r[:, keep]), s_full[keep],
+                           jnp.asarray(v[keep]), (50, d, d), "F", mean, std,
+                           counts=counts)
+        assert masked.rank == 4 == compact.rank
+        np.testing.assert_array_equal(masked.s, compact.s)
+        np.testing.assert_array_equal(masked.v, compact.v)
+        np.testing.assert_array_equal(masked.r, compact.r)
+        # device reconstruction identical (zeros annihilate pruned columns)
+        np.testing.assert_allclose(
+            masked[0:5, :, :], compact[0:5, :, :], atol=1e-5
+        )
+        # host path after close() stays compact and correct
+        ref = masked[0:5, :, :]
+        masked.close()
+        assert masked.rank == 4
+        np.testing.assert_allclose(masked[0:5, :, :], ref, atol=1e-5)
