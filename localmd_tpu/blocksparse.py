@@ -305,8 +305,22 @@ class BlockSparseMatrix:
         return jnp.concatenate(outs, axis=1)
 
     def gram_quadratic(self, right: Array, col_chunk: Optional[int] = None) -> Array:
-        """Symmetrized right.T (U.T U) right, shape (m, m)."""
-        g = _mm(right.T, self.gram_matmul(right, col_chunk=col_chunk))
+        """Symmetrized right.T (U.T U) right, shape (m, m).
+
+        Computed as Z^T Z with Z = U @ right when the (n_pixels, m) canvas
+        fits one pass: mathematically identical to right^T (U^T (U right)),
+        but skips the rmatmul re-gather of the canvas back to panel rows —
+        measured 41.6 ms -> 13.9 ms at the 512^2 bench shapes (m = 336).
+        Column-chunked calls (m > col_chunk, the no-prune long-T regime)
+        keep the gram_matmul form, whose per-chunk intermediates stay
+        (n_pixels, col_chunk) without needing cross-chunk Z products.
+        """
+        m = right.shape[1]
+        if col_chunk is None or m <= col_chunk:
+            z = self.matmul(right)
+            g = _mm(z.T, z)
+        else:
+            g = _mm(right.T, self.gram_matmul(right, col_chunk=col_chunk))
         return 0.5 * (g + g.T)
 
     # -- export / import ------------------------------------------------------
