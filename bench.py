@@ -271,6 +271,12 @@ def regression_gate(current_mpfs, warm_mpfs_samples, big_mpfs=None,
                         "current": round(big_mpfs, 2),
                         "best_prior": round(bv, 2),
                         "best_round": br,
+                        # the big leg is best-of-3 with no per-leg spread
+                        # recorded, so intra-day jitter can't be separated
+                        # from a real slowdown here — flagged explicitly
+                        # rather than silently omitted
+                        "within_intraday_iqr": None,
+                        "iqr_note": "single-leg sample; no spread measured",
                     }
                 )
     return regressed, round(iqr, 2)

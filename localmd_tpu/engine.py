@@ -321,10 +321,10 @@ COSET_STAGE = "auto"
 
 
 def coset_stage_supported(b1: int, b2: int, spatial_avg_factor: int) -> bool:
-    """Static geometry eligibility for the coset stage, shared by the
-    pipeline dispatch and the AOT warm mirror: even blocks (coset lattices
-    exist), savg | b (VALID pooling == reference SAME pooling), and
-    savg | b/2 (coset offsets land on global pooling window boundaries)."""
+    """Static geometry eligibility for the coset stage: even blocks (coset
+    lattices exist), savg | b (VALID pooling == reference SAME pooling),
+    and savg | b/2 (coset offsets land on global pooling window
+    boundaries)."""
     sa = spatial_avg_factor
     return (
         b1 % 2 == 0
@@ -333,6 +333,38 @@ def coset_stage_supported(b1: int, b2: int, spatial_avg_factor: int) -> bool:
         and b2 % sa == 0
         and (b1 // 2) % sa == 0
         and (b2 // 2) % sa == 0
+    )
+
+
+def coset_stage_eligible(
+    b1: int,
+    b2: int,
+    spatial_avg_factor: int,
+    spatial_denoiser,
+    temporal_denoiser,
+    checkpoint_path,
+) -> bool:
+    """The SHARED part of the coset-dispatch decision, used by BOTH the
+    pipeline dispatch site and the AOT warm mirror so the two cannot drift
+    (a one-sided edit would silently warm the wrong program kind and the
+    stage would pay the cold load again). The dispatch site adds its
+    runtime-only conditions (single window, no mesh, single process, no
+    resumed blocks checkpoint) on top; the warmer's creation guards imply
+    those at warm time."""
+    import jax as _jax
+
+    return (
+        checkpoint_path is None
+        and spatial_denoiser is identity
+        and temporal_denoiser is identity
+        and coset_stage_supported(b1, b2, spatial_avg_factor)
+        and (
+            COSET_STAGE is True
+            or (
+                COSET_STAGE == "auto"
+                and _jax.default_backend() not in ("cpu",)
+            )
+        )
     )
 
 

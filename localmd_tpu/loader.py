@@ -125,9 +125,12 @@ def partition_chunks_for_host(
     ``welch_compat='reference'`` uses nperseg = t_c), so every host must see
     exactly the chunk boundaries the single-host loop would. Complete
     chunks are assigned in contiguous runs of ``ceil(n_chunks / host_count)``;
-    stats has no shard-alignment requirement (the accumulators are additive),
-    so frame-count balance across hosts is within one chunk. Trailing hosts
-    may get an EMPTY stripe; consumers must handle zero chunks.
+    stats has no shard-alignment requirement (the accumulators are
+    additive). NOTE the ceil-division striping can leave trailing hosts
+    idle whole chunks below a leading host's count (e.g. 4 chunks over 3
+    hosts split 2/2/0) — acceptable for the stats pass, whose wall time is
+    set by the busiest host's stripe. Trailing hosts may get an EMPTY
+    stripe; consumers must handle zero chunks.
 
     NOTE the cross-host combination is a sum of per-host partial sums, so
     the float accumulation ASSOCIATES differently from the sequential

@@ -341,6 +341,12 @@ def truncated_random_svd(
         )
     else:
         sketch = jax.random.normal(key, batch_shape + (t, k), dtype=matrix.dtype)
+    return _rsvd_core(matrix, sketch, rank, power_iters)
+
+
+def _rsvd_core(matrix: Array, sketch: Array, rank: int, power_iters: int):
+    """The sketch-project-solve chain shared by the single and batched
+    rSVD entry points (they differ only in how the sketch is drawn)."""
     projected = _mm(matrix, sketch)                      # (..., d, k)
     q = cholesky_qr2(projected)                          # (..., d, k)
     for _ in range(power_iters):
@@ -357,6 +363,7 @@ def batched_truncated_random_svd(
     keys: Array,
     rank: int,
     num_oversamples: int = DEFAULT_OVERSAMPLES,
+    power_iters: int = 0,
 ) -> Tuple[Array, Array, Array]:
     """Randomized truncated SVD over a leading batch axis with per-item keys.
 
@@ -364,9 +371,10 @@ def batched_truncated_random_svd(
     independent sketch so results match running ``truncated_random_svd``
     per item (the batched analogue of the reference's per-block host loop).
 
-    Natively batched (not vmapped): the inner CholeskyQR2/Gram-eigh then
-    see explicit (n, k, k) batches and route to the VMEM-resident Pallas
-    solvers on TPU — a vmap would hide the batch dimension from them.
+    Natively batched (not vmapped): the solve chain (``_rsvd_core``, shared
+    with the single-matrix entry point) then sees explicit (n, k, k)
+    batches — what any future batched-solver swap-in needs, and no slower
+    today. Only the sketch draw is vmapped (per-item keys).
     """
     n, d, t = matrices.shape
     k = rank + num_oversamples
@@ -378,12 +386,7 @@ def batched_truncated_random_svd(
         sketch = jax.vmap(
             lambda kk: jax.random.normal(kk, (t, k), dtype=matrices.dtype)
         )(keys)
-    projected = _mm(matrices, sketch)                    # (n, d, k)
-    q = cholesky_qr2(projected)
-    b = _mm(jnp.swapaxes(q, -1, -2), matrices)           # (n, k, t)
-    u_b, s, vt = svd_gram_left(b)
-    u = _mm(q, u_b)
-    return u[..., :rank], s[..., :rank], vt[..., :rank, :]
+    return _rsvd_core(matrices, sketch, rank, power_iters)
 
 
 def projected_svd(projection: Array, data: Array) -> Tuple[Array, Array, Array]:

@@ -418,26 +418,20 @@ def localmd_decomposition(
                 kind = plan["kind"]
                 if (
                     kind == "single"
-                    and checkpoint_path is None
-                    and sden is identity
-                    and tden is identity
-                    and engine.coset_stage_supported(
-                        plan["b1"], plan["b2"], spatial_avg_factor
-                    )
-                    and (
-                        engine.COSET_STAGE is True
-                        or (
-                            engine.COSET_STAGE == "auto"
-                            and jax.default_backend() not in ("cpu",)
-                        )
+                    and engine.coset_stage_eligible(
+                        plan["b1"], plan["b2"], spatial_avg_factor,
+                        sden, tden, checkpoint_path,
                     )
                     and engine.coset_stage_plan(
                         plan["d1"], plan["d2"], plan["b1"], plan["b2"]
                     )
                     is not None
                 ):
-                    # mirror of the dispatch-site eligibility: the block
-                    # stage will run the gather-free coset program
+                    # SHARED eligibility with the dispatch site
+                    # (engine.coset_stage_eligible): the block stage will
+                    # run the gather-free coset program. The dispatch-only
+                    # conditions (mesh/multi-host/resumed-blocks) are
+                    # implied here by the warmer's creation guards.
                     kind = "coset"
                 warmer.start(
                     d1=plan["d1"], d2=plan["d2"],
@@ -912,16 +906,8 @@ def localmd_decomposition(
         and single_window
         and mesh is None
         and not multi_host
-        and checkpoint_path is None
-        and sden is engine.identity
-        and tden is engine.identity
-        and engine.coset_stage_supported(b1, b2, spatial_avg_factor)
-        and (
-            engine.COSET_STAGE is True
-            or (
-                engine.COSET_STAGE == "auto"
-                and jax.default_backend() not in ("cpu",)
-            )
+        and engine.coset_stage_eligible(
+            b1, b2, spatial_avg_factor, sden, tden, checkpoint_path
         )
     ):
         coset_plan = engine.coset_stage_plan(d1, d2, b1, b2)

@@ -152,7 +152,12 @@ class PMDArray:
             self._u_csr = u.tocsr()
             self._col_map = None
             self._r_padded = None
-            self._r_compact = np.asarray(r)
+            rc = np.asarray(r)
+            if self._k2_keep is not None:
+                # scipy-u path compacts R eagerly (there is no device copy
+                # to preserve), keeping .r/.s/.v widths consistent
+                rc = rc[:, self._k2_keep]
+            self._r_compact = rc
 
         # s / mean / std are kept as their (possibly device) sources and
         # materialized to host lazily: pulling them eagerly costs one tunnel

@@ -31,36 +31,12 @@ except Exception:
 from localmd_tpu.ops.tiling import extract_patches
 
 
-def fence(x):
-    return float(jnp.sum(jnp.ravel(x)[:1]))
-
-
-RTT = [0.0]
-
-
-def measure_rtt():
-    x = jnp.ones((8,), jnp.float32)
-    fence(x)
-    best = float("inf")
-    for _ in range(7):
-        t0 = time.perf_counter()
-        fence(x)
-        best = min(best, time.perf_counter() - t0)
-    RTT[0] = best
-    return best
+from _fenced_timing import fence, measure_rtt  # noqa: E402
+from _fenced_timing import timed as _timed  # noqa: E402
 
 
 def timed(fn, *args, reps=3, n=8):
-    out = fn(*args)
-    fence(out if not isinstance(out, tuple) else out[0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        fence(out if not isinstance(out, tuple) else out[0])
-        best = min(best, time.perf_counter() - t0)
-    return max(0.0, (best - RTT[0]) / n), out
+    return _timed(fn, *args, n=n, reps=reps)
 
 
 def main():

@@ -47,8 +47,7 @@ def _jacobi_matmul_tables(k):
     return p_onehot
 
 
-def fence(x):
-    return float(jnp.sum(jnp.ravel(x)[:1]))
+from _fenced_timing import fence, measure_rtt  # noqa: E402
 
 
 def make_kernel(n_steps, sweeps, symmetrize):
@@ -141,14 +140,7 @@ def main():
     n, k = 1024, 30
     m = rng.standard_normal((n, k, 40)).astype(np.float32)
     sym = jnp.asarray(m @ np.swapaxes(m, 1, 2))
-    x0 = jnp.ones((8,), jnp.float32)
-    fence(x0)
-    rtt = min(
-        (lambda t0: (fence(x0), time.perf_counter() - t0)[1])(
-            time.perf_counter()
-        )
-        for _ in range(5)
-    )
+    rtt = measure_rtt()
     print(f"RTT {rtt*1e3:.1f} ms", flush=True)
 
     for symmetrize in (False, True):

@@ -34,44 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fence(x):
-    return float(jnp.sum(jnp.ravel(x)[:1]))
-
-
-_RTT = [0.0]
-
-
-def measure_rtt():
-    """The per-fence D2H round-trip on this link (min of several)."""
-    x = jnp.ones((8,), jnp.float32)
-    fence(x)
-    best = float("inf")
-    for _ in range(7):
-        t0 = time.perf_counter()
-        fence(x)
-        best = min(best, time.perf_counter() - t0)
-    _RTT[0] = best
-    return best
+from _fenced_timing import fence, measure_rtt  # noqa: E402
+from _fenced_timing import timed as _timed  # noqa: E402
 
 
 def timed(fn, *args, reps=3, n=16):
-    """Per-execution seconds: n back-to-back ASYNC dispatches, ONE fence.
-
-    Dispatches are async on this tunneled runtime (queued programs execute
-    serially on device); the single closing fence costs one RTT, which is
-    measured separately and subtracted — per-op resolution well below the
-    28 ms RTT that drowns naive fence-per-call timing.
-    """
-    out = fn(*args)
-    fence(out if not isinstance(out, tuple) else out[0])
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        fence(out if not isinstance(out, tuple) else out[0])
-        best = min(best, time.perf_counter() - t0)
-    return max(0.0, (best - _RTT[0]) / n), out
+    return _timed(fn, *args, n=n, reps=reps)
 
 
 def main():
