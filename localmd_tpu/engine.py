@@ -368,6 +368,44 @@ def coset_stage_eligible(
     )
 
 
+def coset_stage_transient_bytes(
+    d1: int,
+    d2: int,
+    t: int,
+    b1: int,
+    b2: int,
+    max_rank: int,
+    temporal_avg_factor: int,
+    spatial_avg_factor: int,
+    n_sel: int,
+) -> int:
+    """Peak TRANSIENT HBM of the one-program coset stage, excluding the
+    init movie itself (already live): the global binned + pooled copies,
+    the accumulated panel/temporal outputs across cosets, one coset's
+    in-flight intermediates, and ONE movie-sized view copy — XLA keeps the
+    per-coset einsum's view buffer live at these scales (a 1024^2 x 1024
+    f32 widefield next to a device-resident movie OOMed with ~5.8 GB free,
+    which only a view materialization explains; the 1024^2 x 510 bench leg
+    at ~3.7 GB free fits, consistent with this bound). Used by the
+    pipeline's memory gate: a stage that doesn't fit falls back to the
+    memory-bounded chunked dispatch instead of OOMing."""
+    d = d1 * d2
+    sa = spatial_avg_factor
+    tb = max(1, t // max(1, temporal_avg_factor))
+    p = b1 * b2
+    n_big = max(1, -(-n_sel // 3))  # largest coset is <= ~n_sel / 3.5
+    binned = d * tb * 4
+    pooled = (d // (sa * sa)) * t * 4
+    acc_total = n_sel * p * max_rank * 4
+    v_total = n_sel * max_rank * t * 4
+    per_coset_extra = (
+        2 * n_big * p * max_rank * 4      # spatial_proj + u_final
+        + 3 * n_big * max_rank * t * 4    # v_coarse/v_new/v_final
+    )
+    view_copy = d * t * 4                 # one materialized coset view
+    return binned + pooled + acc_total + v_total + per_coset_extra + view_copy
+
+
 def coset_stage_plan(d1: int, d2: int, b1: int, b2: int):
     """Partition the block grid into regular coset lattices + remainder.
 

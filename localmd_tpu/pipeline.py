@@ -416,23 +416,52 @@ def localmd_decomposition(
             )
             if plan is not None:
                 kind = plan["kind"]
-                if (
-                    kind == "single"
-                    and engine.coset_stage_eligible(
-                        plan["b1"], plan["b2"], spatial_avg_factor,
-                        sden, tden, checkpoint_path,
-                    )
-                    and engine.coset_stage_plan(
+                if kind == "single" and engine.coset_stage_eligible(
+                    plan["b1"], plan["b2"], spatial_avg_factor,
+                    sden, tden, checkpoint_path,
+                ):
+                    plan_c = engine.coset_stage_plan(
                         plan["d1"], plan["d2"], plan["b1"], plan["b2"]
                     )
-                    is not None
-                ):
-                    # SHARED eligibility with the dispatch site
-                    # (engine.coset_stage_eligible): the block stage will
-                    # run the gather-free coset program. The dispatch-only
-                    # conditions (mesh/multi-host/resumed-blocks) are
-                    # implied here by the warmer's creation guards.
-                    kind = "coset"
+                    if plan_c is not None:
+                        # SHARED eligibility with the dispatch site
+                        # (engine.coset_stage_eligible) + the same memory
+                        # gate with PREDICTED live bytes; the dispatch-only
+                        # conditions (mesh/multi-host/resumed-blocks) are
+                        # implied here by the warmer's creation guards. A
+                        # mispredicted gate only wastes one background
+                        # compile — the dispatch shape check still decides.
+                        from localmd_tpu.utils.device import (
+                            device_free_bytes,
+                        )
+
+                        est_c = engine.coset_stage_transient_bytes(
+                            plan["d1"], plan["d2"],
+                            plan["crop_avg_constant"],
+                            plan["b1"], plan["b2"],
+                            plan["max_components"],
+                            temporal_avg_factor, spatial_avg_factor,
+                            len(plan_c[1]),
+                        )
+                        predicted_used = (
+                            plan["d1"] * plan["d2"]
+                            * plan["crop_avg_constant"] * 4
+                            + cache_target * plan["d1"] * plan["d2"]
+                            * np.dtype(
+                                getattr(
+                                    loader.dataset, "raw_dtype",
+                                    loader.dataset.dtype,
+                                )
+                            ).itemsize
+                            + resident_bytes
+                        )
+                        free_c = device_free_bytes(
+                            ambient_device_or_first(),
+                            assumed_live_bytes=predicted_used,
+                            pending_bytes=predicted_used,
+                        )
+                        if free_c is None or est_c <= free_c:
+                            kind = "coset"
                 warmer.start(
                     d1=plan["d1"], d2=plan["d2"],
                     # multi-window programs take the pre-gathered patch
@@ -911,6 +940,25 @@ def localmd_decomposition(
         )
     ):
         coset_plan = engine.coset_stage_plan(d1, d2, b1, b2)
+        if coset_plan is not None:
+            # memory gate: the one-program stage's transients must fit next
+            # to the live movie/init buffers, else fall back to the
+            # memory-bounded chunked dispatch up front (a failed coset
+            # attempt leaves HBM pressure the fallback then fights)
+            from localmd_tpu.utils.device import device_free_bytes
+
+            est = engine.coset_stage_transient_bytes(
+                d1, d2, crop_avg_constant, b1, b2, max_components,
+                temporal_avg_factor, spatial_avg_factor, len(coset_plan[1]),
+            )
+            free = device_free_bytes(dev, assumed_live_bytes=used)
+            if free is not None and est > free:
+                display(
+                    f"Coset block stage needs ~{est / 1e9:.1f} GB transients "
+                    f"(~{(free or 0) / 1e9:.1f} GB free): using chunked "
+                    "dispatch"
+                )
+                coset_plan = None
 
     def _run_block_stage_coset():
         meta, ids, remainder = coset_plan
@@ -976,6 +1024,12 @@ def localmd_decomposition(
                 # dispatch shapes across processes (deadlock) — re-raise.
                 if not is_device_oom(e) or multi_host:
                     raise
+                # drop any lingering references to the failed dispatch's
+                # arrays before re-dispatching (the widefield OOM cascade:
+                # the failed attempt's buffers outlived it into the retry)
+                import gc
+
+                gc.collect()
                 if coset_plan is not None:
                     # whole-grid coset program didn't fit this tenancy:
                     # fall back to the memory-bounded chunked dispatch

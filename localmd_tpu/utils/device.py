@@ -66,6 +66,36 @@ def transient_budget_bytes(device=None) -> int:
     return budget
 
 
+def device_free_bytes(
+    device, assumed_live_bytes: int = 0, pending_bytes: int = 0
+):
+    """Best-effort FREE HBM estimate: ``memory_stats()`` when the runtime
+    reports it (minus ``pending_bytes`` — buffers that will be live at
+    dispatch but are not yet allocated), else nominal HBM minus
+    ``assumed_live_bytes`` (the caller's known live buffers — nominal HBM
+    cannot see usage), else None. Shared by the block-batch budget and the
+    coset-stage memory gate."""
+    try:
+        stats = device.memory_stats()
+    except Exception:  # pragma: no cover - backend without memory_stats
+        stats = None
+    try:
+        if stats and "bytes_limit" in stats:
+            return int(
+                stats["bytes_limit"]
+                - stats.get("bytes_in_use", 0)
+                - pending_bytes
+            )
+        from localmd_tpu.loader import nominal_hbm_bytes
+
+        hbm = nominal_hbm_bytes(device)
+        if hbm is not None:
+            return int(hbm * 0.9 - assumed_live_bytes)
+    except Exception:  # pragma: no cover - defensive
+        pass
+    return None
+
+
 def block_batch_budget(
     device,
     *,
@@ -100,26 +130,12 @@ def block_batch_budget(
     padding). Mesh divisibility rounding stays at the dispatch site.
     """
     budget = int(1e9)
-    try:
-        stats = device.memory_stats()
-    except Exception:  # pragma: no cover - backend without memory_stats
-        stats = None
-    try:
-        if stats and "bytes_limit" in stats:
-            free = (
-                stats["bytes_limit"]
-                - stats.get("bytes_in_use", 0)
-                - pending_bytes
-            )
-            budget = max(budget, int(free * 0.4))
-        else:
-            from localmd_tpu.loader import nominal_hbm_bytes
-
-            hbm = nominal_hbm_bytes(device)
-            if hbm is not None:
-                budget = max(budget, int((hbm * 0.9 - assumed_live_bytes) * 0.4))
-    except Exception:  # pragma: no cover - defensive: fall back to the floor
-        pass
+    free = device_free_bytes(
+        device, assumed_live_bytes=assumed_live_bytes,
+        pending_bytes=pending_bytes,
+    )
+    if free is not None:
+        budget = max(budget, int(free * 0.4))
     bb = max(16, min(block_batch_size, n_blocks, budget // per_block_bytes))
     if bb < n_blocks:
         bb = 1 << (bb.bit_length() - 1)

@@ -1711,3 +1711,38 @@ class TestMaskPruning:
         masked.close()
         assert masked.rank == 4
         np.testing.assert_allclose(masked[0:5, :, :], ref, atol=1e-5)
+
+
+class TestCosetMemoryGate:
+    def test_gate_falls_back_to_chunked(self, rng, monkeypatch):
+        # force the coset dispatch on CPU but report ~no free HBM: the
+        # pipeline must take the chunked path up front (no OOM cascade)
+        # and produce an equal result
+        import localmd_tpu.engine as eng
+        import localmd_tpu.utils.device as udev
+
+        t, d1, d2 = 240, 40, 40
+        movie = (rng.standard_normal((t, d1, d2)) + 2).astype(np.float32)
+        kw = dict(
+            frame_range=240, max_components=4, background_rank=1,
+            temporal_avg_factor=4, sim_iters=15, seed=0,
+        )
+        ref = localmd_decomposition(movie, (16, 16), **kw)
+        monkeypatch.setattr(eng, "COSET_STAGE", True)
+        monkeypatch.setattr(
+            udev, "device_free_bytes", lambda *a, **k: 1024
+        )
+        out = localmd_decomposition(movie, (16, 16), **kw)
+        assert out.rank == ref.rank
+        np.testing.assert_allclose(out[5], ref[5], atol=1e-6)
+
+    def test_transient_estimate_scales(self):
+        from localmd_tpu.engine import coset_stage_transient_bytes
+
+        small = coset_stage_transient_bytes(512, 512, 1020, 32, 32, 20, 10, 2, 961)
+        big = coset_stage_transient_bytes(1024, 1024, 1020, 40, 40, 20, 10, 2, 2500)
+        assert big > small
+        # the measured-fitting 512^2 bench config stays under ~3 GB
+        assert small < 2.5e9
+        # the widefield config that OOMed estimates several GB of transients
+        assert big > 5e9
