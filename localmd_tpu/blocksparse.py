@@ -131,6 +131,194 @@ def _flatten_write_cols(out: Array, canvas: Array, s: Array, order: str) -> Arra
     )
 
 
+# Banded-Gram fast path for ``gram_quadratic`` on REGULAR grids (even
+# blocks, exact half-overlap, no snapped tail; see BlockGrid.cell_geometry):
+# same-coset blocks are disjoint, so U^T U is block-banded — a block
+# overlaps only its <=8 grid neighbors, and every overlap region is a whole
+# number of (h1, h2) cells. right^T (U^T U) right then reduces to batched
+# (S, S)-class products over blocks and neighbor offsets, with no (d, m)
+# canvas, no scatter and no gather (measured 3.7 ms vs 23.8 ms for the
+# canvas form at the 512^2 bench shapes, scripts/ablate_gram_vproj.py).
+# "auto" enables it off-CPU (CPU keeps the canvas path so golden/parity
+# numerics are byte-stable); True/False force it for tests.
+BANDED_GRAM = "auto"
+
+
+def _banded_gram_enabled() -> bool:
+    return BANDED_GRAM is True or (
+        BANDED_GRAM == "auto" and jax.default_backend() not in ("cpu",)
+    )
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _banded_gram_quad(
+    panels: Array, right: Array, bg: Array, rows: Array,
+    n1: int, n2: int, h1: int, h2: int,
+) -> Array:
+    """right^T (U^T U) right via the block-banded Gram structure.
+
+    panels: (g, p, S) with p F-order within the block (i + j*b1);
+    right: (g*S + K_bg, m); bg: (d, K_bg) dense background columns;
+    rows: (g, p) global pixel ids (used only for the bg coupling gather).
+    """
+    g, p, s_slots = panels.shape
+    m = right.shape[1]
+    nb = g * s_slots
+    xb = right[:nb].reshape(g, s_slots, m)
+    xg = right[nb:]
+    # cell split: p -> (b2, b1) = (j, i) -> (jc, jr, ic, ir)
+    cells = panels.reshape(n1, n2, 2, h2, 2, h1, s_slots)
+    xgrid = xb.reshape(n1, n2, s_slots, m)
+
+    # diagonal: per-block full-panel Gram (same-coset off-diagonals vanish)
+    gd = jnp.einsum("gps,gpt->gst", panels, panels,
+                    preferred_element_type=jnp.float32)
+    y = jnp.einsum("gst,gtm->gsm", gd, xb,
+                   preferred_element_type=jnp.float32)
+    quad = jnp.einsum("gsm,gsn->mn", xb, y,
+                      preferred_element_type=jnp.float32)
+
+    # neighbor terms, one per offset (transpose added once at the end):
+    #   dj=+1 : my jc=1 cells vs their jc=0 (overlap = right/left halves)
+    #   di=+1 : my ic=1 vs their ic=0
+    #   di=+1, dj=+1 : my corner (1, 1) cell vs their (0, 0)
+    #   di=+1, dj=-1 : my (jc=0, ic=1) vs their (jc=1, ic=0)
+    def pair_term(lhs_cells, rhs_cells, lhs_x, rhs_x):
+        if lhs_cells.shape[0] == 0 or lhs_cells.shape[1] == 0:
+            # single-row/column grids have no neighbors along this offset
+            return jnp.zeros((m, m), jnp.float32)
+        lw = lhs_cells.reshape(
+            lhs_cells.shape[0], lhs_cells.shape[1], -1, s_slots
+        )
+        rw = rhs_cells.reshape(
+            rhs_cells.shape[0], rhs_cells.shape[1], -1, s_slots
+        )
+        gq = jnp.einsum("IJps,IJpt->IJst", lw, rw,
+                        preferred_element_type=jnp.float32)
+        yy = jnp.einsum("IJst,IJtm->IJsm", gq, rhs_x,
+                        preferred_element_type=jnp.float32)
+        return jnp.einsum("IJsm,IJsn->mn", lhs_x, yy,
+                          preferred_element_type=jnp.float32)
+
+    c = cells
+    cross = (
+        pair_term(c[:, :-1, 1], c[:, 1:, 0], xgrid[:, :-1], xgrid[:, 1:])
+        + pair_term(c[:-1, :, :, :, 1], c[1:, :, :, :, 0],
+                    xgrid[:-1], xgrid[1:])
+        + pair_term(c[:-1, :-1, 1, :, 1], c[1:, 1:, 0, :, 0],
+                    xgrid[:-1, :-1], xgrid[1:, 1:])
+        + pair_term(c[:-1, 1:, 0, :, 1], c[1:, :-1, 1, :, 0],
+                    xgrid[:-1, 1:], xgrid[1:, :-1])
+    )
+    quad = quad + cross + cross.T
+
+    if bg.shape[1]:
+        gathered = jnp.take(bg, rows.reshape(-1), axis=0).reshape(g, p, -1)
+        ub = jnp.einsum("gps,gpk->gsk", panels, gathered,
+                        preferred_element_type=jnp.float32).reshape(nb, -1)
+        cb = _mm(_mm(right[:nb].T, ub), xg)
+        quad = quad + cb + cb.T + _mm(xg.T, _mm(_mm(bg.T, bg), xg))
+    return 0.5 * (quad + quad.T)
+
+
+# Coset-view V-projection fast path: V = P^T (U~^T X) computed by
+# contracting block pixels against coset VIEWS of each raw (t, d1, d2)
+# chunk — a reshape, not a gather — so the (d, r') dense canvas a = U @ P
+# of the folded-projector path never exists (that canvas build was the
+# single largest warm op of the V stage: ~24 ms at the 512^2 bench shapes,
+# vs ~50 ms for the whole canvas+Pallas stage; the coset form measured
+# ~38 ms end-to-end, scripts/ablate_gram_vproj.py). Regular grids only
+# (BlockGrid.cell_geometry). Same flag semantics as BANDED_GRAM.
+COSET_VPROJ = "auto"
+
+
+def _coset_vproj_enabled() -> bool:
+    return COSET_VPROJ is True or (
+        COSET_VPROJ == "auto" and jax.default_backend() not in ("cpu",)
+    )
+
+
+def coset_vproj_eligible(u) -> bool:
+    """Whether :meth:`PMDLoader.v_projection` will route through the coset
+    chunk kernel for this spatial matrix. Shared by the dispatch site and
+    the pipeline's stage warmer (mirror discipline: see aot.py)."""
+    return (
+        isinstance(u, BlockSparseMatrix)
+        and u.cell_geom is not None
+        and _coset_vproj_enabled()
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def fold_vproj_operands(
+    p: Array, panels: Array, rows: Array, fov: Tuple[int, int], order: str,
+    bg: Array, std_flat: Array, mean_flat: Array,
+):
+    """One-time per-``v_projection`` operand fold for the coset chunk
+    kernel: panels with 1/std folded into their pixel rows, the std-folded
+    background basis as a (d1, d2, K) image, and the mean-correction vector
+    already projected through the mixing matrix ``p``. ``p`` is NOT donated
+    — the pipeline reuses it for the final reformat."""
+    from localmd_tpu.ops.tiling import unflatten_fov
+
+    d1, d2 = fov
+    inv_std = (1.0 / std_flat)[rows]                       # (g, p)
+    pan_t = panels * inv_std[:, :, None]
+    bg_img = unflatten_fov(bg / std_flat[:, None], d1, d2, order)
+    q_blocks = jnp.einsum(
+        "gps,gp->gs", pan_t, mean_flat[rows],
+        preferred_element_type=jnp.float32,
+    ).reshape(-1)
+    q_bg = _mm(bg.T, (mean_flat / std_flat)[:, None])[:, 0]
+    q = jnp.concatenate([q_blocks, q_bg])
+    pq = _mm(p.T, q[:, None])[:, 0]                        # (r',)
+    return pan_t, bg_img, pq, p
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def coset_vproj_chunk(
+    pan_t: Array, bg_img: Array, pq: Array, p: Array, raw: Array,
+    n1: int, n2: int, h1: int, h2: int,
+) -> Array:
+    """V columns of one raw (t, d1, d2) chunk: P^T (U~^T X) - P^T q.
+
+    Block pixels contract against coset views of the chunk (same-coset
+    blocks tile disjointly on the regular grid), so no patch gather and no
+    (d, r') canvas. Panel p-axis is F-order within the block (i + j*b1)."""
+    g, pp, s_slots = pan_t.shape
+    b1, b2 = 2 * h1, 2 * h2
+    t = raw.shape[0]
+    x = raw.astype(jnp.float32)
+    out = jnp.zeros((n1, n2, s_slots, t), jnp.float32)
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            nc1 = (n1 - r1 + 1) // 2
+            nc2 = (n2 - r2 + 1) // 2
+            if nc1 <= 0 or nc2 <= 0:
+                continue
+            a1, a2 = r1 * h1, r2 * h2
+            view = x[:, a1 : a1 + nc1 * b1, a2 : a2 + nc2 * b2]
+            view = view.reshape(t, nc1, b1, nc2, b2)       # (t, A, i, C, j)
+            pan = pan_t.reshape(n1, n2, pp, s_slots)[r1::2, r2::2]
+            pan = pan.reshape(nc1, nc2, b2, b1, s_slots)   # (A, C, j, i, S)
+            res = jax.lax.dot_general(
+                pan, view,
+                (((2, 3), (4, 2)), ((0, 1), (1, 3))),
+                preferred_element_type=jnp.float32,
+            )                                              # (A, C, S, t)
+            out = out.at[r1::2, r2::2].set(res)
+    w_blocks = out.reshape(g * s_slots, t)
+    if bg_img.shape[-1]:
+        w_bg = jax.lax.dot_general(
+            bg_img, x, (((0, 1), (1, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (K, t)
+        w = jnp.concatenate([w_blocks, w_bg], axis=0)
+    else:
+        w = w_blocks
+    return _mm(p.T, w) - pq[:, None]
+
+
 @jax.jit
 def _rmatmul_group(panels: Array, rows: Array, y: Array) -> Array:
     """(n_pixels, m) -> (g, S, m) via gather + batched panel^T matmul."""
@@ -160,6 +348,10 @@ class BlockSparseMatrix:
     # ``matmul``'s overlap-add through disjoint-coset pad/transpose/reshape
     # instead of an XLA scatter-add (2.5x+ at 1024^2 FOV).
     coset_info: Optional[tuple] = None
+    # Optional regular-grid cell geometry (BlockGrid.cell_geometry()):
+    # (n1, n2, h1, h2) enables the banded-Gram fast path of
+    # ``gram_quadratic``. None disables it (irregular grids, manual tests).
+    cell_geom: Optional[Tuple[int, int, int, int]] = None
 
     @property
     def n_blocks(self) -> int:
@@ -304,6 +496,21 @@ class BlockSparseMatrix:
             outs.append(self.rmatmul(self.matmul(x[:, s : s + col_chunk])))
         return jnp.concatenate(outs, axis=1)
 
+    def banded_gram_ready(self, m: int) -> bool:
+        """Whether ``gram_quadratic`` at ``m`` right-hand columns will take
+        the banded fast path. Shared with the pipeline's stage warmer so the
+        warmed program and the dispatched program cannot drift."""
+        if self.cell_geom is None or not _banded_gram_enabled():
+            return False
+        # transient bound: the (g, S, m)-class einsum intermediates plus
+        # the (g, p, K_bg) background gather
+        k_bg = self.dense_basis.shape[1]
+        need = 4 * (
+            3 * self.n_block_cols * m
+            + self.n_blocks * self.panels.shape[1] * max(k_bg, 1)
+        )
+        return need <= _intermediate_budget()
+
     def gram_quadratic(self, right: Array, col_chunk: Optional[int] = None) -> Array:
         """Symmetrized right.T (U.T U) right, shape (m, m).
 
@@ -316,6 +523,11 @@ class BlockSparseMatrix:
         (n_pixels, col_chunk) without needing cross-chunk Z products.
         """
         m = right.shape[1]
+        if self.banded_gram_ready(m):
+            return _banded_gram_quad(
+                self.panels, jnp.asarray(right), self.dense_basis,
+                self.rows, *self.cell_geom,
+            )
         if col_chunk is None or m <= col_chunk:
             z = self.matmul(right)
             g = _mm(z.T, z)

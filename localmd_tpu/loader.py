@@ -1056,10 +1056,8 @@ class PMDLoader:
             (r', T) DEVICE array (pull to host lazily; tunneled D2H is slow).
         """
         p_dev = jnp.asarray(p)
-        a = u.matmul(p_dev)                                   # (d, r') dense
         std_flat = flatten_image(jnp.asarray(self.std_img), self._order)
         mean_flat = flatten_image(jnp.asarray(self.mean_img), self._order)
-        a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
         multi_host = getattr(jax, "process_count", lambda: 1)() > 1
         mesh_for_assembly = mesh
@@ -1070,6 +1068,46 @@ class PMDLoader:
             # global result is stitched at the end
             # (docs/ARCHITECTURE.md §multi-host)
             mesh = None
+
+        from localmd_tpu.blocksparse import (
+            coset_vproj_chunk,
+            coset_vproj_eligible,
+            fold_vproj_operands,
+        )
+
+        if mesh is None and coset_vproj_eligible(u):
+            # Coset fast path: V = P^T (U~^T X) via coset views of each raw
+            # chunk — the (d, r') canvas a = U @ P is never built (see
+            # blocksparse.coset_vproj_chunk). Same chunk stream / prefetch /
+            # multi-host stripe semantics as the Pallas path below.
+            d1, d2 = self.shape[1], self.shape[2]
+            pan_t, bg_img, pq, p_k = fold_vproj_operands(
+                p_dev, u.panels, u.rows, (d1, d2), self._order,
+                u.dense_basis, std_flat, mean_flat,
+            )
+            n1, n2, h1, h2 = u.cell_geom
+            results = []
+            chunks = self._take_v_prefetch(True) or self._iter_raw_chunks(
+                device_put=True, host_partition=True
+            )
+            try:
+                for raw in chunks:
+                    results.append(
+                        coset_vproj_chunk(
+                            pan_t, bg_img, pq, p_k, jnp.asarray(raw),
+                            n1, n2, h1, h2,
+                        )
+                    )
+            finally:
+                close = getattr(chunks, "close", None)
+                if close is not None:
+                    close()
+            return self._assemble_global_v(
+                _cat_cols(results, p_dev.shape[1]), mesh_for_assembly
+            )
+
+        a = u.matmul(p_dev)                                   # (d, r') dense
+        a_tilde, c = _fold_projector(a, std_flat, mean_flat)  # donates a
 
         if mesh is None and jax.default_backend() not in ("cpu",):
             # Pallas fast path: one HBM pass per chunk, native-dtype reads.

@@ -217,6 +217,36 @@ class BlockGrid:
             cache[tok] = cached
         return cached
 
+    def cell_geometry(self):
+        """``(n1, n2, h1, h2)`` when the grid is *regular*: even blocks,
+        exact half-overlap stride, no snapped tail start. Every pairwise
+        block overlap is then a whole number of ``(h1, h2)`` cells and the
+        grid supports the banded-Gram / cell-dot fast paths
+        (:mod:`localmd_tpu.blocksparse`). ``None`` otherwise. Host-side
+        metadata only (no device sync); cached on the instance."""
+        cached = getattr(self, "_cell_geometry", None)
+        if cached is not None:
+            return None if cached == "none" else cached
+        b1, b2 = self.block_sizes
+        geom = None
+        if b1 % 2 == 0 and b2 % 2 == 0:
+            h1, h2 = b1 // 2, b2 // 2
+            s1 = sorted({int(s) for s in self.starts[:, 0]})
+            s2 = sorted({int(s) for s in self.starts[:, 1]})
+            n1, n2 = len(s1), len(s2)
+            if (
+                len(self.starts) == n1 * n2
+                and s1 == [i * h1 for i in range(n1)]
+                and s2 == [j * h2 for j in range(n2)]
+                and (n1 - 1) * h1 + b1 == self.d1
+                and (n2 - 1) * h2 + b2 == self.d2
+            ):
+                geom = (n1, n2, h1, h2)
+        object.__setattr__(
+            self, "_cell_geometry", geom if geom is not None else "none"
+        )
+        return geom
+
     def cosets(self):
         """Partition the block grid into disjoint 'cosets' for a gather- and
         scatter-free overlap-add (see ``blocksparse._coset_matmul``).

@@ -256,9 +256,22 @@ def localmd_decomposition(
 
     timings: dict = {}
     _t0 = _time.perf_counter()
+    # Debug: LOCALMD_FENCE_STAGES=1 drains the device queue before each
+    # stage mark, so ``pipeline_timings`` attributes DEVICE time to the
+    # stage that queued it rather than to the next blocking D2H pull
+    # (async dispatch otherwise books ~all device work to the two sync
+    # points). Each fence costs one D2H round trip — measurement only.
+    import os as _os
+
+    _fence_stages = _os.environ.get("LOCALMD_FENCE_STAGES") == "1"
 
     def _mark(stage):
         nonlocal _t0
+        if _fence_stages:
+            try:
+                float(jnp.zeros((), jnp.float32) + jnp.float32(0))
+            except Exception:
+                pass
         now = _time.perf_counter()
         timings[stage] = round(now - _t0, 4)
         _t0 = now
@@ -1088,6 +1101,7 @@ def localmd_decomposition(
         starts=starts_dev,
         block_shape=(b1, b2),
         coset_info=grid.coset_info(),
+        cell_geom=grid.cell_geometry(),
     )
 
     # V rows must mirror U's column layout: padded block slots then background.
@@ -1137,18 +1151,57 @@ def localmd_decomposition(
             raw_dt = np.dtype(load_obj.dataset.dtype)
             chunk_t = int(min(load_obj._stream_chunk_frames(), t_total))
 
-            def _warm_vproj():
-                from localmd_tpu.ops.pallas_kernels import fused_v_projection
+            from localmd_tpu.blocksparse import coset_vproj_eligible
 
-                return fused_v_projection(
-                    jnp.zeros((chunk_t, d1 * d2), raw_dt),
-                    jnp.zeros((d1 * d2, k_val), jnp.float32),
-                    jnp.zeros((k_val,), jnp.float32),
+            if coset_vproj_eligible(u):
+                # mirror of the loader's coset dispatch (shared eligibility
+                # helper): warm the operand fold + the chunk program at the
+                # exact stage shapes
+                pan_shape = tuple(u.panels.shape)
+                k_bg_w = int(u.dense_basis.shape[1])
+                geom_w = u.cell_geom
+                r_rows_loc = r_rows_w
+
+                def _warm_vproj_coset():
+                    from localmd_tpu.blocksparse import (
+                        coset_vproj_chunk,
+                        fold_vproj_operands,
+                    )
+
+                    pan_t, bg_img, pq, p_k = fold_vproj_operands(
+                        jnp.zeros((r_rows_loc, k_val), jnp.float32),
+                        jnp.zeros(pan_shape, jnp.float32),
+                        u.rows,
+                        (d1, d2),
+                        order,
+                        jnp.zeros((d1 * d2, k_bg_w), jnp.float32),
+                        jnp.ones((d1 * d2,), jnp.float32),
+                        jnp.zeros((d1 * d2,), jnp.float32),
+                    )
+                    return coset_vproj_chunk(
+                        pan_t, bg_img, pq, p_k,
+                        jnp.zeros((chunk_t, d1, d2), raw_dt), *geom_w,
+                    )
+
+                stage_warmer.start(
+                    f"vproj-coset:{chunk_t}x{k_val}:{raw_dt.name}",
+                    _warm_vproj_coset,
                 )
+            else:
+                def _warm_vproj():
+                    from localmd_tpu.ops.pallas_kernels import (
+                        fused_v_projection,
+                    )
 
-            stage_warmer.start(
-                f"vproj:{chunk_t}x{k_val}:{raw_dt.name}", _warm_vproj
-            )
+                    return fused_v_projection(
+                        jnp.zeros((chunk_t, d1 * d2), raw_dt),
+                        jnp.zeros((d1 * d2, k_val), jnp.float32),
+                        jnp.zeros((k_val,), jnp.float32),
+                    )
+
+                stage_warmer.start(
+                    f"vproj:{chunk_t}x{k_val}:{raw_dt.name}", _warm_vproj
+                )
 
     if stage_warmer is not None and mesh is None and not ckpt.has("projector"):
         t_used_w = int(v_cropped.shape[1])
@@ -1175,6 +1228,27 @@ def localmd_decomposition(
                 return eigh_descending(q)
 
             stage_warmer.start(f"fsvd-eigh:{m_quad_w}x{k_sketch_w}", _warm_eigh)
+            if u.banded_gram_ready(m_quad_w):
+                # mirror of gram_quadratic's banded dispatch (shared
+                # readiness helper, blocksparse.banded_gram_ready)
+                pan_shape_g = tuple(u.panels.shape)
+                k_bg_g = int(u.dense_basis.shape[1])
+                geom_g = u.cell_geom
+
+                def _warm_gram():
+                    from localmd_tpu.blocksparse import _banded_gram_quad
+
+                    return _banded_gram_quad(
+                        jnp.zeros(pan_shape_g, jnp.float32),
+                        jnp.zeros((r_rows_w, m_quad_w), jnp.float32),
+                        jnp.zeros((d1 * d2, k_bg_g), jnp.float32),
+                        u.rows,
+                        *geom_g,
+                    )
+
+                stage_warmer.start(
+                    f"fsvd-gram:{m_quad_w}x{pan_shape_g[0]}", _warm_gram
+                )
         _start_downstream_warms(k_w)
 
     def _compute_projector():

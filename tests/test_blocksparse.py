@@ -99,6 +99,78 @@ class TestBlockSparse:
         np.testing.assert_allclose(out, expected, rtol=1e-3, atol=1e-2)
         np.testing.assert_allclose(out, out.T, atol=1e-6)  # symmetrized
 
+    @pytest.mark.parametrize(
+        "d1,d2,block,k_bg",
+        [
+            (36, 30, (12, 10), 3),   # regular non-square blocks, bg
+            (36, 30, (12, 10), 0),   # no background columns
+            (48, 48, (16, 16), 2),   # square, larger grid
+            (12, 30, (12, 10), 2),   # single block row along dim1
+        ],
+    )
+    def test_gram_quadratic_banded_matches_canvas(self, rng, d1, d2, block, k_bg):
+        # the banded fast path (block-banded U^T U over regular grids) must
+        # agree with the canvas Z^T Z form; forced on for CPU via the flag
+        import localmd_tpu.blocksparse as bs
+
+        grid = BlockGrid(d1, d2, block)
+        geom = grid.cell_geometry()
+        assert geom is not None, "fixture grids must be regular"
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, 4)).astype(np.float32)
+        bg = rng.standard_normal((d1 * d2, k_bg)).astype(np.float32)
+        kw = dict(
+            panels=jnp.asarray(panels), rows=jnp.asarray(grid.rows),
+            n_pixels=d1 * d2, dense_basis=jnp.asarray(bg),
+            block_shape=block, coset_info=grid.coset_info(),
+        )
+        u_plain = BlockSparseMatrix(**kw)
+        u_band = BlockSparseMatrix(**kw, cell_geom=geom)
+        right = rng.standard_normal((u_plain.shape[1], 7)).astype(np.float32)
+        ref = np.asarray(u_plain.gram_quadratic(jnp.asarray(right)))
+        orig = bs.BANDED_GRAM
+        bs.BANDED_GRAM = True
+        try:
+            out = np.asarray(u_band.gram_quadratic(jnp.asarray(right)))
+        finally:
+            bs.BANDED_GRAM = orig
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(out / scale, ref / scale, atol=2e-5)
+        np.testing.assert_allclose(out, out.T, atol=1e-6)
+
+    def test_gram_banded_budget_fallback(self, rng):
+        # an over-budget banded call must fall back to the canvas path
+        import localmd_tpu.blocksparse as bs
+
+        grid = BlockGrid(36, 30, (12, 10))
+        n, p = grid.n_blocks, grid.pixels_per_block
+        panels = rng.standard_normal((n, p, 3)).astype(np.float32)
+        u = BlockSparseMatrix(
+            panels=jnp.asarray(panels), rows=jnp.asarray(grid.rows),
+            n_pixels=36 * 30, dense_basis=jnp.zeros((36 * 30, 0), jnp.float32),
+            block_shape=(12, 10), coset_info=grid.coset_info(),
+            cell_geom=grid.cell_geometry(),
+        )
+        right = rng.standard_normal((u.shape[1], 5)).astype(np.float32)
+        orig_flag, orig_budget = bs.BANDED_GRAM, bs._INTERMEDIATE_BUDGET_BYTES
+        bs.BANDED_GRAM = True
+        try:
+            full = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+            bs._INTERMEDIATE_BUDGET_BYTES = 1  # force fallback
+            fallback = np.asarray(u.gram_quadratic(jnp.asarray(right)))
+        finally:
+            bs.BANDED_GRAM = orig_flag
+            bs._INTERMEDIATE_BUDGET_BYTES = orig_budget
+        np.testing.assert_allclose(full, fallback, rtol=2e-4, atol=1e-3)
+
+    def test_cell_geometry_detection(self):
+        # regular grids report geometry; snapped tails / odd blocks do not
+        assert BlockGrid(36, 30, (12, 10)).cell_geometry() == (5, 5, 6, 5)
+        assert BlockGrid(512, 512, (32, 32)).cell_geometry() == (31, 31, 16, 16)
+        assert BlockGrid(25, 23, (12, 10)).cell_geometry() is None  # tails
+        assert BlockGrid(29, 31, (11, 13)).cell_geometry() is None  # odd
+        assert BlockGrid(12, 10, (12, 10)).cell_geometry() == (1, 1, 6, 5)
+
     def test_gram_matmul_chunked_matches_unchunked(self, rng):
         u, dense, _ = make_case(rng)
         x = rng.standard_normal((dense.shape[1], 9)).astype(np.float32)

@@ -288,6 +288,96 @@ class TestHostPartition:
         assert v.shape == (5, 300)
 
 
+class TestCosetVProjection:
+    """The coset-view V-projection fast path (regular grids, flag-forced on
+    CPU) must match the default folded-projector kernel."""
+
+    @pytest.mark.parametrize("k_bg,order", [(2, "F"), (0, "F"), (2, "C")])
+    def test_coset_vproj_matches_default(self, rng, k_bg, order):
+        import localmd_tpu.blocksparse as bs
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        t, d = 130, 24
+        movie = (rng.standard_normal((t, d, d)) + 4).astype(np.float32)
+        grid = BlockGrid(d, d, (12, 12), order=order)
+        assert grid.cell_geometry() is not None
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 3)
+        ).astype(np.float32)
+        bg = rng.standard_normal((d * d, k_bg)).astype(np.float32) * 0.1
+        u_plain = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), d * d,
+            jnp.asarray(bg), block_shape=(12, 12),
+            coset_info=grid.coset_info(),
+        )
+        u_coset = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), d * d,
+            jnp.asarray(bg), block_shape=(12, 12),
+            coset_info=grid.coset_info(), cell_geom=grid.cell_geometry(),
+        )
+        p = jnp.asarray(
+            rng.standard_normal((u_plain.shape[1], 5)).astype(np.float32)
+        )
+        loader = PMDLoader(movie, background_rank=0, seed=0, order=order)
+        v_ref = np.asarray(loader.v_projection(u_plain, p))
+        orig = bs.COSET_VPROJ
+        bs.COSET_VPROJ = True
+        try:
+            assert bs.coset_vproj_eligible(u_coset)
+            assert not bs.coset_vproj_eligible(u_plain)
+            v_coset = np.asarray(
+                PMDLoader(
+                    movie, background_rank=0, seed=0, order=order
+                ).v_projection(u_coset, p)
+            )
+        finally:
+            bs.COSET_VPROJ = orig
+        scale = max(np.abs(v_ref).max(), 1.0)
+        np.testing.assert_allclose(
+            v_coset / scale, v_ref / scale, atol=3e-5
+        )
+
+    def test_coset_vproj_streams_chunks(self, rng):
+        # multi-chunk streaming (tiny chunk budget) must agree with the
+        # one-shot result
+        import localmd_tpu.blocksparse as bs
+        import localmd_tpu.loader as loader_mod
+        from localmd_tpu.blocksparse import BlockSparseMatrix
+        from localmd_tpu.ops.tiling import BlockGrid
+
+        t, d = 90, 24
+        movie = (rng.standard_normal((t, d, d)) + 4).astype(np.float32)
+        grid = BlockGrid(d, d, (12, 12))
+        panels = rng.standard_normal(
+            (grid.n_blocks, grid.pixels_per_block, 2)
+        ).astype(np.float32)
+        u = BlockSparseMatrix(
+            jnp.asarray(panels), jnp.asarray(grid.rows), d * d,
+            jnp.zeros((d * d, 1), jnp.float32), block_shape=(12, 12),
+            coset_info=grid.coset_info(), cell_geom=grid.cell_geometry(),
+        )
+        p = jnp.asarray(
+            rng.standard_normal((u.shape[1], 4)).astype(np.float32)
+        )
+        orig = bs.COSET_VPROJ
+        bs.COSET_VPROJ = True
+        try:
+            one = np.asarray(
+                PMDLoader(movie, background_rank=0, seed=0).v_projection(u, p)
+            )
+            ld = PMDLoader(movie, background_rank=0, seed=0)
+            orig_chunk = loader_mod.PMDLoader._stream_chunk_frames
+            loader_mod.PMDLoader._stream_chunk_frames = lambda self: 40
+            try:
+                chunked = np.asarray(ld.v_projection(u, p))
+            finally:
+                loader_mod.PMDLoader._stream_chunk_frames = orig_chunk
+        finally:
+            bs.COSET_VPROJ = orig
+        np.testing.assert_allclose(chunked, one, rtol=1e-5, atol=1e-5)
+
+
 class TestVPrefetchOverlap:
     """start_v_prefetch stages the V-regression stream while the projector
     chain computes; results must be identical and the handle lifecycle safe."""
