@@ -93,9 +93,36 @@ def normalized_init_geometry(shape, frame_range, window_chunks, block_sizes):
     return fr, wc, b1, b2
 
 
+# Process-global warm registries. jit's trace/executable caches (and the
+# AOT-compiled handles below) live for the whole process, so warming a
+# given program is a ONCE-per-process affair — but every pipeline run
+# constructs fresh warmer objects. Without these registries each WARM run
+# re-paid the warm work: the StageWarmer re-EXECUTED its zero-filled
+# dummies (~50+ ms of redundant device time per bench warm run: the
+# vproj-coset dummy alone is ~38 ms) and the BlockProgramWarmer re-ran
+# ``lower().compile()`` on a GIL-contending thread that the block stage
+# then joins. Keys include the jax program-identity configs (precision)
+# and the target device, matching replay_jax_program_configs.
+_WARM_REGISTRY_LOCK = threading.Lock()
+_STAGE_WARMED: set = set()
+_BLOCK_PROGRAMS: dict = {}
+
+
+def clear_warm_registry() -> None:
+    """Drop all process-global warm records (tests/diagnostics). Running
+    pipelines are unaffected — they hold their own references."""
+    with _WARM_REGISTRY_LOCK:
+        _STAGE_WARMED.clear()
+        _BLOCK_PROGRAMS.clear()
+
+
 class BlockProgramWarmer:
     """Compiles the window-0 chunk program on a background thread and hands
-    it to the block stage if (and only if) the planned geometry matches."""
+    it to the block stage if (and only if) the planned geometry matches.
+    Compiled handles are kept in a process-global registry keyed by the
+    full plan, so later runs of the same configuration skip the background
+    lowering entirely (the block stage ``get`` otherwise joins a thread
+    that is re-deriving an already-resident program)."""
 
     def __init__(self):
         self._thread: Optional[threading.Thread] = None
@@ -156,6 +183,17 @@ class BlockProgramWarmer:
         )
 
         precision = snapshot_jax_program_configs()
+        reg_key = (self._plan, precision, str(device))
+        with _WARM_REGISTRY_LOCK:
+            cached = _BLOCK_PROGRAMS.get(reg_key)
+        if cached is not None:
+            # program already compiled+loaded this process: hand it over
+            # without a thread (get() short-circuits on _thread presence,
+            # so mark the slot with a pre-joined dummy)
+            self._compiled = cached
+            self._thread = threading.Thread(target=lambda: None)
+            self._thread.start()
+            return
 
         def _compile():
             try:
@@ -198,6 +236,8 @@ class BlockProgramWarmer:
                     )
                 with replay_jax_program_configs(device, precision):
                     self._compiled = fn.lower(*args).compile()
+                with _WARM_REGISTRY_LOCK:
+                    _BLOCK_PROGRAMS[reg_key] = self._compiled
             except Exception as e:  # noqa: BLE001 - warm-up must never kill a run
                 self.compile_error = e
                 logger.debug("background AOT compile failed: %s", e)
@@ -276,22 +316,41 @@ class StageWarmer:
         self.completed: list = []
         self.errors: dict = {}
 
-    def start(self, name: str, fn: Callable[[], object]) -> None:
+    def start(self, name: str, fn: Callable[[], object], token=None) -> None:
         """Run ``fn()`` on a daemon thread under the caller's jax configs.
         A second ``start`` with the same name is a no-op (warm sites may
         fire once on a shape prediction and again with exact shapes —
         include the shapes in ``name`` so only a mispredicted warm reruns).
+
+        ``token``: hashable description of everything that determines the
+        warmed program's identity beyond the display name (shapes, static
+        geometry, dtypes). The process-global skip registry keys on it —
+        an incomplete token would silently skip warming a DIFFERENT
+        program that shares the name.
         """
         if name in self._threads:
             return
         precision = snapshot_jax_program_configs()
         device = self._device
+        reg_key = (name, token, precision, str(device))
+        with _WARM_REGISTRY_LOCK:
+            if reg_key in _STAGE_WARMED:
+                # warmed earlier this process: the executable cache is
+                # process-global, so the program is already resident —
+                # re-executing the dummy would only burn device time on
+                # the warm path. Report it completed; join() stays a
+                # no-op (self._threads holds no thread for it).
+                self._threads[name] = None
+                self.completed.append(name)
+                return
 
         def _run():
             try:
                 with replay_jax_program_configs(device, precision):
                     jax.block_until_ready(fn())
                 self.completed.append(name)
+                with _WARM_REGISTRY_LOCK:
+                    _STAGE_WARMED.add(reg_key)
             except Exception as e:  # noqa: BLE001 - warming must never kill a run
                 self.errors[name] = e
                 logger.debug("stage warm %r failed: %s", name, e)
@@ -316,7 +375,8 @@ class StageWarmer:
         never blocks on stray warms: a mispredicted warm may hold a
         program load for minutes on a tunneled TPU)."""
         for t in list(self._threads.values()):
-            t.join(timeout)
+            if t is not None:      # None = registry-skipped (already warm)
+                t.join(timeout)
 
 
 def plan_block_stage(

@@ -404,7 +404,11 @@ def localmd_decomposition(
                             cache_token=("pipeline-thr", effective_seed),
                         )
 
-                    stage_warmer.start("thresholds", _warm_thresholds)
+                    stage_warmer.start(
+                        "thresholds", _warm_thresholds,
+                        token=(b1_w, b2_w, wc_w, sim_iters, sim_conf,
+                               effective_seed, checkpoint_path is None),
+                    )
             if warmer is None:
                 return
             resident_bytes = 0
@@ -1139,7 +1143,10 @@ def localmd_decomposition(
                 jnp.zeros((k_val, int(t_total)), jnp.float32),
             )
 
-        stage_warmer.start(f"final:{k_val}", _warm_final)
+        stage_warmer.start(
+            f"final:{k_val}", _warm_final,
+            token=(r_rows_w, k_val, int(t_total)),
+        )
         if not ckpt.has("v") and jax.default_backend() not in ("cpu",):
             # READ dtype, not raw_dtype: TiffArray reads return float32
             # while its raw_dtype reports the on-disk dtype — the Pallas
@@ -1186,6 +1193,8 @@ def localmd_decomposition(
                 stage_warmer.start(
                     f"vproj-coset:{chunk_t}x{k_val}:{raw_dt.name}",
                     _warm_vproj_coset,
+                    token=(pan_shape, chunk_t, k_val, raw_dt.name,
+                           d1, d2, k_bg_w, geom_w, order, r_rows_loc),
                 )
             else:
                 def _warm_vproj():
@@ -1200,7 +1209,8 @@ def localmd_decomposition(
                     )
 
                 stage_warmer.start(
-                    f"vproj:{chunk_t}x{k_val}:{raw_dt.name}", _warm_vproj
+                    f"vproj:{chunk_t}x{k_val}:{raw_dt.name}", _warm_vproj,
+                    token=(chunk_t, d1 * d2, k_val, raw_dt.name),
                 )
 
     if stage_warmer is not None and mesh is None and not ckpt.has("projector"):
@@ -1227,7 +1237,10 @@ def localmd_decomposition(
                     return subspace_eigh(q, k_sketch_w)
                 return eigh_descending(q)
 
-            stage_warmer.start(f"fsvd-eigh:{m_quad_w}x{k_sketch_w}", _warm_eigh)
+            stage_warmer.start(
+                f"fsvd-eigh:{m_quad_w}x{k_sketch_w}", _warm_eigh,
+                token=(m_quad_w, k_sketch_w, solver_w),
+            )
             if u.banded_gram_ready(m_quad_w):
                 # mirror of gram_quadratic's banded dispatch (shared
                 # readiness helper, blocksparse.banded_gram_ready)
@@ -1247,7 +1260,9 @@ def localmd_decomposition(
                     )
 
                 stage_warmer.start(
-                    f"fsvd-gram:{m_quad_w}x{pan_shape_g[0]}", _warm_gram
+                    f"fsvd-gram:{m_quad_w}x{pan_shape_g[0]}", _warm_gram,
+                    token=(pan_shape_g, r_rows_w, m_quad_w, k_bg_g,
+                           geom_g, d1, d2),
                 )
         _start_downstream_warms(k_w)
 

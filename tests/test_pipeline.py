@@ -464,6 +464,55 @@ class TestAOTWarm:
         assert "ok" in w.completed and "boom" in w.errors
         assert "boom" not in w.completed
 
+    def test_stage_warmer_global_registry_skips_rerun(self):
+        # a name+token warmed once in the process must not re-EXECUTE its
+        # dummy in later pipeline runs (the executable cache is process-
+        # global; re-running the dummy burns device time on the warm path)
+        from localmd_tpu.aot import StageWarmer, clear_warm_registry
+
+        clear_warm_registry()
+        try:
+            runs = []
+
+            def make(tag):
+                def fn():
+                    runs.append(tag)
+                    import jax.numpy as jnp
+
+                    return jnp.zeros(())
+
+                return fn
+
+            w1 = StageWarmer()
+            w1.start("prog", make("a"), token=(32, 32))
+            w1.join("prog")
+            assert runs == ["a"] and "prog" in w1.completed
+
+            w2 = StageWarmer()
+            w2.start("prog", make("b"), token=(32, 32))  # registry hit
+            w2.join("prog")
+            assert runs == ["a"]                  # did NOT re-execute
+            assert "prog" in w2.completed         # still reported warm
+
+            w3 = StageWarmer()
+            w3.start("prog", make("c"), token=(64, 64))  # different program
+            w3.join("prog")
+            assert runs == ["a", "c"]
+
+            # failures must not register (the next run retries)
+            def boom():
+                raise RuntimeError("x")
+
+            w4 = StageWarmer()
+            w4.start("bad", boom, token=(1,))
+            w4.join("bad")
+            w5 = StageWarmer()
+            w5.start("bad", make("d"), token=(1,))
+            w5.join("bad")
+            assert "d" in runs
+        finally:
+            clear_warm_registry()
+
     def test_eigh_plan_matches_dispatch_branches(self):
         from localmd_tpu.factorization import eigh_plan
 
