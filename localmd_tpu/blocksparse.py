@@ -249,74 +249,107 @@ def coset_vproj_eligible(u) -> bool:
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def fold_vproj_operands(
-    p: Array, panels: Array, rows: Array, fov: Tuple[int, int], order: str,
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def build_vproj_cells(
+    panels: Array, rows: Array, fov: Tuple[int, int], order: str,
+    geom: Tuple[int, int, int, int],
     bg: Array, std_flat: Array, mean_flat: Array,
 ):
-    """One-time per-``v_projection`` operand fold for the coset chunk
-    kernel: panels with 1/std folded into their pixel rows, the std-folded
-    background basis as a (d1, d2, K) image, and the mean-correction vector
-    already projected through the mixing matrix ``p``. ``p`` is NOT donated
-    — the pipeline reuses it for the final reformat."""
+    """One-time per-``v_projection`` operand build for the cell chunk
+    kernel: the std-folded panels and background basis PACKED into one
+    per-cell matrix ``m_cell`` (nc1, nc2, h1*h2, 4*S + K_bg), plus the
+    mean-correction vector ``q = U~^T mean`` (the mixing matrix folds in
+    per chunk — it does not exist yet when this is dispatched).
+
+    Needs nothing from the factorized-SVD chain, so the pipeline fires it
+    right after U is assembled: the ~15-20 ms build then overlaps the
+    blocking counts pull and the projector chain instead of sitting on the
+    V-regression critical path.
+
+    Cell packing: on the regular grid every (h1, h2) cell is covered by
+    exactly 4 blocks (one per corner role (a, b)); stacking those panel
+    slices — and the background columns — along one 4*S + K_bg axis lets
+    the whole U~^T X contract as ONE canonical batched dot per chunk
+    (measured 4.2 ms vs 27.6 ms for four strided coset-view dots at the
+    512^2 bench shapes, scripts/ablate_vproj_parts.py)."""
     from localmd_tpu.ops.tiling import unflatten_fov
 
     d1, d2 = fov
+    n1, n2, h1, h2 = geom
+    nc1, nc2 = n1 + 1, n2 + 1
+    g, pp, s_slots = panels.shape
+    k_bg = bg.shape[1]
     inv_std = (1.0 / std_flat)[rows]                       # (g, p)
     pan_t = panels * inv_std[:, :, None]
-    bg_img = unflatten_fov(bg / std_flat[:, None], d1, d2, order)
+    # panel p-axis is F-order within the block (i + j*b1): split
+    # (b2, b1) = (j, i) into cells (jc, jr, ic, ir)
+    pan6 = pan_t.reshape(n1, n2, 2, h2, 2, h1, s_slots)
+    # slab-per-corner, edge-padded to the cell grid, then ONE concat along
+    # the packed axis: interior ``.at[slice].set`` writes lower to scatters
+    # that cost ~15 ms at the bench shapes; pad+concat is ~4x cheaper
+    slabs = []
+    for a in (0, 1):            # corner along dim1 (i)
+        for b in (0, 1):        # corner along dim2 (j)
+            part = pan6[:, :, b, :, a, :, :]               # (n1,n2,jr,ir,S)
+            part = jnp.swapaxes(part, 2, 3)                # (n1,n2,ir,jr,S)
+            part = part.reshape(n1, n2, h1 * h2, s_slots)
+            slabs.append(
+                jnp.pad(part, ((a, 1 - a), (b, 1 - b), (0, 0), (0, 0)))
+            )
+    if k_bg:
+        bg_img = unflatten_fov(bg / std_flat[:, None], d1, d2, order)
+        bg_cells = bg_img.reshape(nc1, h1, nc2, h2, k_bg)
+        bg_cells = jnp.swapaxes(bg_cells, 1, 2).reshape(
+            nc1, nc2, h1 * h2, k_bg
+        )
+        slabs.append(bg_cells)
+    m_cell = jnp.concatenate(slabs, axis=-1)
     q_blocks = jnp.einsum(
         "gps,gp->gs", pan_t, mean_flat[rows],
         preferred_element_type=jnp.float32,
     ).reshape(-1)
     q_bg = _mm(bg.T, (mean_flat / std_flat)[:, None])[:, 0]
     q = jnp.concatenate([q_blocks, q_bg])
-    pq = _mm(p.T, q[:, None])[:, 0]                        # (r',)
-    return pan_t, bg_img, pq, p
+    return m_cell, q
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def coset_vproj_chunk(
-    pan_t: Array, bg_img: Array, pq: Array, p: Array, raw: Array,
-    n1: int, n2: int, h1: int, h2: int,
+    m_cell: Array, q: Array, p: Array, raw: Array,
+    n1: int, n2: int, h1: int, h2: int, s_slots: int,
 ) -> Array:
     """V columns of one raw (t, d1, d2) chunk: P^T (U~^T X) - P^T q.
 
-    Block pixels contract against coset views of the chunk (same-coset
-    blocks tile disjointly on the regular grid), so no patch gather and no
-    (d, r') canvas. Panel p-axis is F-order within the block (i + j*b1)."""
-    g, pp, s_slots = pan_t.shape
-    b1, b2 = 2 * h1, 2 * h2
+    One space-to-depth reshape of the chunk into (cell, pixel, t) layout,
+    one canonical batched dot against the packed per-cell panel matrix
+    (blocks' 4 corner roles + background columns share the contraction),
+    then corner-slice adds to reassemble per-block rows. No patch gather,
+    no (d, r') canvas, no strided dot operands."""
     t = raw.shape[0]
-    x = raw.astype(jnp.float32)
-    out = jnp.zeros((n1, n2, s_slots, t), jnp.float32)
-    for r1 in (0, 1):
-        for r2 in (0, 1):
-            nc1 = (n1 - r1 + 1) // 2
-            nc2 = (n2 - r2 + 1) // 2
-            if nc1 <= 0 or nc2 <= 0:
-                continue
-            a1, a2 = r1 * h1, r2 * h2
-            view = x[:, a1 : a1 + nc1 * b1, a2 : a2 + nc2 * b2]
-            view = view.reshape(t, nc1, b1, nc2, b2)       # (t, A, i, C, j)
-            pan = pan_t.reshape(n1, n2, pp, s_slots)[r1::2, r2::2]
-            pan = pan.reshape(nc1, nc2, b2, b1, s_slots)   # (A, C, j, i, S)
-            res = jax.lax.dot_general(
-                pan, view,
-                (((2, 3), (4, 2)), ((0, 1), (1, 3))),
-                preferred_element_type=jnp.float32,
-            )                                              # (A, C, S, t)
-            out = out.at[r1::2, r2::2].set(res)
-    w_blocks = out.reshape(g * s_slots, t)
-    if bg_img.shape[-1]:
-        w_bg = jax.lax.dot_general(
-            bg_img, x, (((0, 1), (1, 2)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # (K, t)
-        w = jnp.concatenate([w_blocks, w_bg], axis=0)
+    nc1, nc2 = n1 + 1, n2 + 1
+    x = raw.astype(jnp.float32).reshape(t, nc1, h1, nc2, h2)
+    xc = jnp.transpose(x, (1, 3, 2, 4, 0)).reshape(nc1, nc2, h1 * h2, t)
+    y = jax.lax.dot_general(
+        m_cell, xc, (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )                                                      # (nc1,nc2,CK,t)
+    s = s_slots
+    # block (g1, g2)'s corner (a, b) contribution lives at cell
+    # (g1 + a, g2 + b), slot band (2a + b) * S
+    w = (
+        y[0:n1, 0:n2, 0 * s : 1 * s]
+        + y[0:n1, 1:, 1 * s : 2 * s]
+        + y[1:, 0:n2, 2 * s : 3 * s]
+        + y[1:, 1:, 3 * s : 4 * s]
+    )
+    w_blocks = w.reshape(n1 * n2 * s, t)
+    if m_cell.shape[-1] > 4 * s:
+        w_bg = jnp.sum(y[:, :, 4 * s :, :], axis=(0, 1))   # (K_bg, t)
+        w_full = jnp.concatenate([w_blocks, w_bg], axis=0)
     else:
-        w = w_blocks
-    return _mm(p.T, w) - pq[:, None]
+        w_full = w_blocks
+    pq = _mm(p.T, q[:, None])                              # (r', 1) tiny
+    return _mm(p.T, w_full) - pq
 
 
 @jax.jit

@@ -1043,6 +1043,30 @@ class PMDLoader:
 
     # -- streaming temporal regression ------------------------------------------
 
+    def prepare_vproj_cells(self, u):
+        """Build (and stash) the cell chunk kernel's packed operands for
+        ``u`` (blocksparse.build_vproj_cells). Needs only U + the
+        statistics images — NOT the mixing matrix — so the pipeline calls
+        this right after U is assembled: the ~15-20 ms build is dispatched
+        under the blocking counts pull / projector chain instead of the
+        V-regression critical path. Idempotent per ``u`` (keyed on the
+        panels buffer identity); returns (m_cell, q)."""
+        from localmd_tpu.blocksparse import build_vproj_cells
+
+        stash = getattr(self, "_vproj_cells", None)
+        if stash is not None and stash[0] is u.panels:
+            return stash[1], stash[2]
+        d1, d2 = self.shape[1], self.shape[2]
+        m_cell, q = build_vproj_cells(
+            u.panels, u.rows, (d1, d2), self._order,
+            tuple(int(v) for v in u.cell_geom),
+            u.dense_basis,
+            flatten_image(jnp.asarray(self.std_img), self._order),
+            flatten_image(jnp.asarray(self.mean_img), self._order),
+        )
+        self._vproj_cells = (u.panels, m_cell, q)
+        return m_cell, q
+
     def v_projection(self, u, p: Array, mesh=None) -> Array:
         """V = P^T U^T standardize(movie): second full streaming pass.
 
@@ -1072,20 +1096,18 @@ class PMDLoader:
         from localmd_tpu.blocksparse import (
             coset_vproj_chunk,
             coset_vproj_eligible,
-            fold_vproj_operands,
         )
 
         if mesh is None and coset_vproj_eligible(u):
-            # Coset fast path: V = P^T (U~^T X) via coset views of each raw
-            # chunk — the (d, r') canvas a = U @ P is never built (see
+            # Cell fast path: V = P^T (U~^T X) via one canonical batched
+            # dot per raw chunk against the packed per-cell panels — the
+            # (d, r') canvas a = U @ P is never built (see
             # blocksparse.coset_vproj_chunk). Same chunk stream / prefetch /
             # multi-host stripe semantics as the Pallas path below.
-            d1, d2 = self.shape[1], self.shape[2]
-            pan_t, bg_img, pq, p_k = fold_vproj_operands(
-                p_dev, u.panels, u.rows, (d1, d2), self._order,
-                u.dense_basis, std_flat, mean_flat,
-            )
-            n1, n2, h1, h2 = u.cell_geom
+            geom = tuple(int(v) for v in u.cell_geom)
+            m_cell, q = self.prepare_vproj_cells(u)
+            n1, n2, h1, h2 = geom
+            s_slots = int(u.panels.shape[2])
             results = []
             chunks = self._take_v_prefetch(True) or self._iter_raw_chunks(
                 device_put=True, host_partition=True
@@ -1094,8 +1116,8 @@ class PMDLoader:
                 for raw in chunks:
                     results.append(
                         coset_vproj_chunk(
-                            pan_t, bg_img, pq, p_k, jnp.asarray(raw),
-                            n1, n2, h1, h2,
+                            m_cell, q, p_dev, jnp.asarray(raw),
+                            n1, n2, h1, h2, s_slots,
                         )
                     )
             finally:

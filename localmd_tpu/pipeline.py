@@ -1085,11 +1085,10 @@ def localmd_decomposition(
         data_crop = None
 
 
-    total_rank = int(counts.sum())
-    _mark("block_decomposition")
-    display(f"Total blockwise rank (pre-background): {total_rank}")
-
     # -- pyramid-weight + normalize + assemble U -------------------------------
+    # Dispatched BEFORE the blocking counts pull below: none of it needs
+    # total_rank, so the weighting/concat programs queue behind the block
+    # stage and execute while the host waits out the D2H round trip.
     # weights_flat multiplies PANEL rows, whose within-block layout is always
     # F (see BlockGrid.rows); cum_flat is indexed by GLOBAL ids (order-aware).
     # Uploaded once per grid and cached (grid.device_constants).
@@ -1112,6 +1111,18 @@ def localmd_decomposition(
     v_cropped = jnp.concatenate(
         [v_blocks.reshape(n_blocks * max_components, -1), temporal_basis_crop], axis=0
     )
+
+    # Pre-dispatch the V-regression's packed cell operands (needs only U +
+    # stats): the build executes under the counts pull / projector chain
+    # below instead of delaying the second pass (loader stashes the result).
+    from localmd_tpu.blocksparse import coset_vproj_eligible
+
+    if not ckpt.has("v") and mesh is None and coset_vproj_eligible(u):
+        load_obj.prepare_vproj_cells(u)
+
+    total_rank = int(counts.sum())
+    _mark("block_decomposition")
+    display(f"Total blockwise rank (pre-background): {total_rank}")
 
     # -- factorized SVD / rank prune (reference decomposition.py:861-881) ------
     k_bg = u.dense_basis.shape[1]
@@ -1171,23 +1182,25 @@ def localmd_decomposition(
 
                 def _warm_vproj_coset():
                     from localmd_tpu.blocksparse import (
+                        build_vproj_cells,
                         coset_vproj_chunk,
-                        fold_vproj_operands,
                     )
 
-                    pan_t, bg_img, pq, p_k = fold_vproj_operands(
-                        jnp.zeros((r_rows_loc, k_val), jnp.float32),
+                    m_cell, q = build_vproj_cells(
                         jnp.zeros(pan_shape, jnp.float32),
                         u.rows,
                         (d1, d2),
                         order,
+                        geom_w,
                         jnp.zeros((d1 * d2, k_bg_w), jnp.float32),
                         jnp.ones((d1 * d2,), jnp.float32),
                         jnp.zeros((d1 * d2,), jnp.float32),
                     )
                     return coset_vproj_chunk(
-                        pan_t, bg_img, pq, p_k,
+                        m_cell, q,
+                        jnp.zeros((r_rows_loc, k_val), jnp.float32),
                         jnp.zeros((chunk_t, d1, d2), raw_dt), *geom_w,
+                        pan_shape[2],
                     )
 
                 stage_warmer.start(
